@@ -1,0 +1,22 @@
+"""stringwars-tpu: a TPU-native string-processing framework.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of StringWars
+(reference: /root/reference): first-party TPU kernels for substring/byteset
+search, 64-bit + multiseed hashing, edit distances (Levenshtein/NW/SW),
+MinHash fingerprints, UTF-8 machinery, Unicode case folding + normalization,
+segmentation, argsort, memory ops and probabilistic filters — wrapped in a
+wall-time-budgeted benchmark harness that reproduces the reference's variant
+naming, work accounting and canonical report lines (reference: utils.py:243-336,
+utils.rs:623-714).
+
+Layout (maps SURVEY.md §7):
+  - ``tape``       — the central (flat bytes, offsets) token container (K14)
+  - ``ops``        — kernel families K1-K13, one module per family
+  - ``parallel``   — mesh/device-scope + sharded collectives (K15)
+  - ``utils``      — config, harness, reporting (L0-L3)
+  - ``suites``     — runnable benchmark suites mirroring the reference's ten
+"""
+
+__version__ = "0.1.0"
+
+from stringwars_tpu.tape import Tape, PaddedTokens  # noqa: F401
