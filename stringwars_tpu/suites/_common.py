@@ -1,0 +1,90 @@
+"""Shared suite scaffolding: arg parsing, tape loading, variant runner.
+
+The per-suite ``main`` composes: parse flags → load tape (with stderr
+stats) → resolve device scopes → run groups. Mirrors the reference's suite
+skeleton (``find/bench.rs:350-371``, ``hash/bench.py:236-270``) with the
+skip-not-crash discipline: any variant whose setup or first call fails
+prints ``SKIPPED (<reason>)`` and the suite moves on
+(``similarities/bench.py:426-433``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import traceback
+from typing import Callable
+
+import jax
+
+from stringwars_tpu import datasets
+from stringwars_tpu.parallel.mesh import DeviceScope, scope_variants
+from stringwars_tpu.tape import Tape
+from stringwars_tpu.utils.config import add_common_args, compile_filter, resolve_tokens, should_run
+from stringwars_tpu.utils.harness import BenchBudget, WorkUnits, measure_throughput
+from stringwars_tpu.utils.report import report_skip
+
+
+class SuiteContext:
+    def __init__(self, args, tape: Tape, budget: BenchBudget, pattern, scopes: list[DeviceScope]):
+        self.args = args
+        self.tape = tape
+        self.budget = budget
+        self.pattern = pattern
+        self.scopes = scopes
+
+    def group(self, title: str) -> None:
+        print(f"# {title}", flush=True)
+
+    def run(self, name: str, unit: str, routine: Callable[[], WorkUnits]) -> None:
+        """Measure one variant under the suite budget; SKIP on failure."""
+        if not should_run(name, self.pattern):
+            print(f"{name:<42} SKIPPED (filtered)", file=sys.stderr, flush=True)
+            return
+        try:
+            stats = measure_throughput(routine, self.budget)
+        except KeyboardInterrupt:
+            report_skip(name, "interrupted by user")
+            raise
+        except Exception as error:  # noqa: BLE001 — skip-not-crash per suite contract
+            report_skip(name, f"{type(error).__name__}: {error}")
+            if datasets.get_env_bool("DEBUG_TRACEBACKS"):
+                traceback.print_exc()
+            return
+        stats.report(name, unit)
+
+
+def setup_suite(
+    description: str,
+    *,
+    default_tokens: str,
+    default_warmup: float,
+    default_time: float,
+    default_synthetic: str = "english-words",
+    extra_args: Callable[[argparse.ArgumentParser], None] | None = None,
+) -> SuiteContext:
+    parser = argparse.ArgumentParser(description=description)
+    add_common_args(parser)
+    if extra_args:
+        extra_args(parser)
+    args = parser.parse_args()
+
+    pattern = compile_filter(args.filter)
+    tokens_mode = resolve_tokens(args.tokens, default_tokens)
+    tape = datasets.load_tape(
+        args.dataset,
+        tokens_mode=tokens_mode,
+        size_limit=args.dataset_limit,
+        default_synthetic=default_synthetic,
+    )
+    budget = BenchBudget.from_env(default_warmup, default_time).with_overrides(
+        args.warmup, args.time_limit
+    )
+    scopes = scope_variants(args.chips)
+    print(
+        f"swtpu on {jax.default_backend()} "
+        f"({jax.local_device_count()} device(s)); budget {budget.warmup_seconds}s+{budget.time_seconds}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    return SuiteContext(args, tape, budget, pattern, scopes)
