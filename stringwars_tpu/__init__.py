@@ -19,4 +19,17 @@ Layout (maps SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: first compiles on the tunneled TPU can be
+# slow (minutes); caching makes them one-time per program shape. Opt out by
+# exporting JAX_COMPILATION_CACHE_DIR="".
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache_dir = _os.path.expanduser("~/.cache/swtpu-xla")
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from stringwars_tpu.tape import Tape, PaddedTokens  # noqa: F401
