@@ -1,0 +1,220 @@
+"""Canonical/compat normalization: NFC, NFD, NFKC, NFKD (family K10).
+
+Reference rows: ``sz::utf8_norm`` vs unicode-normalization / icu4x
+(``normalization/bench.rs:113-141``). Design:
+
+- **Decompose** (NFD/NFKD): table-driven 1→N expansion (pool + scatter over
+  prefix sums, same machinery as case folding; Hangul precomputed into the
+  tables) followed by **canonical reordering** — a stable argsort of
+  ``starter_run_id * 256 + ccc`` keys, which is exactly the UAX#15
+  reorder expressed as one dense sort.
+- **Compose** (NFC/NFKC): an "all-inert" quick check (every codepoint is
+  ccc=0, decomposition-free, and not a composition combiner → the NFD
+  stream is already NFC) short-circuits most real text; otherwise a
+  ``lax.scan`` walks the reordered stream carrying (pending starter,
+  last-ccc) state, composing via a dense rank×rank pair table and Hangul
+  arithmetic. The scan is the sequential conformance path; hot corpora hit
+  the quick check.
+
+Conformance oracle: ``unicodedata.normalize`` (UCD 15.0), fuzzed in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stringwars_tpu.unicode import tables
+
+_MAX_NFD = 4
+_MAX_NFKD = 18
+
+# Hangul constants (UAX#15 §3.12)
+_SBASE, _LBASE, _VBASE, _TBASE = 0xAC00, 0x1100, 0x1161, 0x11A7
+_LCOUNT, _VCOUNT, _TCOUNT = 19, 21, 28
+_NCOUNT = _VCOUNT * _TCOUNT
+
+
+@functools.lru_cache(maxsize=None)
+def _decomp_arrays(compat: bool):
+    inline, multi, pool = tables.decomposition_tables(compat)
+    return inline, multi.astype(np.int64), pool
+
+
+@functools.lru_cache(maxsize=None)
+def _ccc_np():
+    return tables.ccc_table().astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_tables():
+    """Dense composition lookup: rank maps + [n_s, n_c] composed table."""
+    starters, combiners, composed = tables.composition_pairs()
+    s_unique = np.unique(starters)
+    c_unique = np.unique(combiners)
+    s_rank = np.zeros(tables.MAX_CP, np.int32)
+    c_rank = np.zeros(tables.MAX_CP, np.int32)
+    s_rank[s_unique] = np.arange(1, s_unique.size + 1)
+    c_rank[c_unique] = np.arange(1, c_unique.size + 1)
+    dense = np.zeros((s_unique.size + 1) * (c_unique.size + 1), np.int32)
+    dense[s_rank[starters] * (c_unique.size + 1) + c_rank[combiners]] = composed
+    return s_rank, c_rank, dense, c_unique.size + 1
+
+
+@functools.lru_cache(maxsize=None)
+def _inert_np(compat: bool) -> np.ndarray:
+    """True for codepoints that can't interact with composition at all."""
+    inline, multi, _ = _decomp_arrays(compat)
+    ccc = _ccc_np()
+    _, c_rank, _, _ = _pair_tables()
+    inert = (inline == np.arange(tables.MAX_CP)) & (multi == 0) & (ccc == 0) & (c_rank == 0)
+    # Hangul jamo compose arithmetically:
+    jamo = np.zeros(tables.MAX_CP, bool)
+    jamo[_LBASE : _LBASE + _LCOUNT] = True
+    jamo[_VBASE : _VBASE + _VCOUNT] = True
+    jamo[_TBASE + 1 : _TBASE + _TCOUNT] = True
+    return inert & ~jamo
+
+
+@functools.partial(jax.jit, static_argnames=("n", "compat"))
+def decompose(cps: jax.Array, n: int, compat: bool = False) -> tuple[jax.Array, jax.Array]:
+    """NFD/NFKD of a zero-padded codepoint stream: (out, true_count).
+
+    Input slots past the caller's logical length must be zero (they map to
+    zero, one slot each — subtract like ``fold_bytes`` does).
+    """
+    inline_np, multi_np, pool_np = _decomp_arrays(compat)
+    inline = jnp.asarray(inline_np)
+    multi = jnp.asarray(multi_np.astype(np.int32))
+    pool = jnp.asarray(pool_np)
+    max_exp = _MAX_NFKD if compat else _MAX_NFD
+    cp = cps[:n]
+    f = jnp.take(inline, cp)
+    is_multi = f < 0
+    m = jnp.take(multi, cp)
+    length = jnp.where(is_multi, m & 31, 1)
+    pool_off = m >> 5
+    out_n = n * max_exp
+    starts = jnp.cumsum(length) - length
+    out = jnp.zeros((out_n,), jnp.int32)
+    for k in range(max_exp):
+        val = jnp.where(
+            is_multi, jnp.take(pool, jnp.clip(pool_off + k, 0, pool.shape[0] - 1)), f
+        )
+        dst = jnp.where(k < length, starts + k, out_n)
+        out = out.at[dst].set(val, mode="drop")
+    count = jnp.sum(length, dtype=jnp.int32)
+
+    # Canonical reordering: stable sort by (starter-run, ccc).
+    ccc = jnp.take(jnp.asarray(_ccc_np()), out)
+    run = jnp.cumsum((ccc == 0).astype(jnp.int32))
+    key = run * 256 + ccc
+    order = jnp.argsort(key, stable=True)
+    return jnp.take(out, order), count
+
+
+def _compose_scan(cps: jax.Array):
+    """Sequential UAX#15 composition over a reordered NFD stream.
+
+    Standard algorithm: walk the stream carrying (last starter value,
+    ccc of the last kept character). A character C composes with the
+    carried starter L iff a primary composite (or Hangul composition)
+    exists and C is not blocked (nothing kept between L and C has
+    ccc >= ccc(C); tracked as ``last_cc == 0 or last_cc < ccc(C)``).
+
+    Returns values int32[n]: -1 at consumed slots, the kept codepoint at
+    mark slots, and the *final composed value* at starter slots (resolved
+    by a segment-last pass after the scan).
+    """
+    s_rank_np, c_rank_np, dense_np, n_c = _pair_tables()
+    s_rank = jnp.asarray(s_rank_np)
+    c_rank = jnp.asarray(c_rank_np)
+    dense = jnp.asarray(dense_np)
+    ccc_t = jnp.asarray(_ccc_np())
+
+    def step(carry, cp):
+        starter, last_cc = carry
+        c = jnp.take(ccc_t, cp)
+        # Hangul L+V / LV+T (both have ccc 0: adjacency enforced below).
+        is_l = (starter >= _LBASE) & (starter < _LBASE + _LCOUNT)
+        is_v = (cp >= _VBASE) & (cp < _VBASE + _VCOUNT)
+        lv = _SBASE + ((starter - _LBASE) * _VCOUNT + (cp - _VBASE)) * _TCOUNT
+        is_lv = (
+            (starter >= _SBASE)
+            & (starter < _SBASE + 11172)
+            & (((starter - _SBASE) % _TCOUNT) == 0)
+        )
+        is_t = (cp > _TBASE) & (cp < _TBASE + _TCOUNT)
+        hangul = jnp.where(
+            is_l & is_v, lv, jnp.where(is_lv & is_t, starter + (cp - _TBASE), -1)
+        )
+        pair = jnp.take(dense, jnp.take(s_rank, jnp.maximum(starter, 0)) * n_c + jnp.take(c_rank, cp))
+        composed = jnp.where(hangul >= 0, hangul, jnp.where(pair > 0, pair, -1))
+        not_blocked = (last_cc == 0) | (last_cc < c)
+        do = (starter >= 0) & (composed >= 0) & not_blocked
+        is_starter = (c == 0) & ~do
+        new_starter = jnp.where(do, composed, jnp.where(is_starter, cp, starter))
+        new_last = jnp.where(do, last_cc, jnp.where(is_starter, 0, c))
+        emit = jnp.where(do, -1, jnp.where(is_starter, -2, cp))
+        return (new_starter, new_last), (emit, new_starter)
+
+    n = cps.shape[0]
+    (_, _), (emits, starters_after) = jax.lax.scan(
+        step, (jnp.int32(-1), jnp.int32(0)), cps
+    )
+    # Resolve each starter slot to the carried starter's final value: the
+    # last ``starters_after`` within its run (runs delimited by starter slots).
+    is_starter_slot = emits == -2
+    run = jnp.cumsum(is_starter_slot.astype(jnp.int32))
+    # seg_last[r] = starters_after at the last position of run r (scatter
+    # with duplicate indices is order-undefined, so use searchsorted).
+    last_pos = jnp.searchsorted(run, jnp.arange(n + 1, dtype=run.dtype), side="right") - 1
+    seg_last = jnp.take(starters_after, jnp.clip(last_pos, 0, max(n - 1, 0)))
+    return jnp.where(is_starter_slot, jnp.take(seg_last, run), emits)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "compat"))
+def _nfc_padded(cps: jax.Array, n: int, compat: bool):
+    nfd, count = decompose(cps, n, compat)
+    vals = _compose_scan(nfd)
+    keep = (vals >= 0) & (jnp.arange(nfd.shape[0], dtype=jnp.int32) < count)
+    dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dst = jnp.where(keep, dst, nfd.shape[0])
+    out = jnp.zeros_like(nfd).at[dst].set(vals, mode="drop")
+    kept = jnp.sum(keep, dtype=jnp.int32)
+    return out, kept, count
+
+
+def normalize(text_cps: np.ndarray, form: str = "NFC") -> np.ndarray:
+    """Normalize a host codepoint array; returns the normalized array.
+
+    Forms: NFD, NFKD, NFC, NFKC. (Host wrapper around the device kernels;
+    suites call the jitted pieces directly on padded streams.)
+    """
+    compat = form in ("NFKD", "NFKC")
+    n = int(text_cps.shape[0])
+    if n == 0:
+        return text_cps.astype(np.int32)
+    # Pad to a power-of-two bucket so jit programs are shared across sizes
+    # (padding zeros normalize to zero slots the kernels already exclude —
+    # but only past `count`; zeros inside [0, n) are counted, so subtract).
+    bucket = 16
+    while bucket < n:
+        bucket *= 2
+    padded = np.zeros(bucket, np.int32)
+    padded[:n] = text_cps
+    pad_slots = bucket - n
+    cps = jnp.asarray(padded)
+    if form in ("NFD", "NFKD"):
+        out, count = decompose(cps, bucket, compat)
+        return np.asarray(out)[: int(count) - pad_slots]
+    out, kept, _ = _nfc_padded(cps, bucket, compat)
+    return np.asarray(out)[: int(kept) - pad_slots]
+
+
+def normalize_text(text: str, form: str = "NFC") -> str:
+    cps = np.array([ord(c) for c in text], np.int32)
+    return "".join(chr(c) for c in normalize(cps, form))

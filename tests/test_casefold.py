@@ -1,0 +1,48 @@
+"""K10 conformance: full case folding vs str.casefold, uncased search."""
+
+import numpy as np
+import pytest
+
+from stringwars_tpu.ops.casefold import fold_bytes, fold_text, uncased_count, uncased_equal
+
+SAMPLES = [
+    "Hello World",
+    "STRASSE straße ẞ",
+    "İstanbul ı I i",  # Turkish dotted/dotless (folds per default UCD)
+    "ΣΊΣΥΦΟΣ σίσυφος",
+    "ПРИВЕТ привет",
+    "ﬁre ﬂow ﬃ",  # ligatures fold to multi-char
+    "한국어 普通话",
+    "emoji 🎉 stays",
+]
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_fold_matches_python(text):
+    assert fold_text(text) == text.casefold()
+
+
+def test_fold_random_fuzz(rng):
+    for _ in range(50):
+        cps = rng.integers(1, 0x2FFF, 30)
+        text = "".join(chr(c) for c in cps if not (0xD800 <= c <= 0xDFFF))
+        assert fold_text(text) == text.casefold()
+
+
+def test_uncased_equal():
+    assert uncased_equal("Straße".encode(), "STRASSE".encode())
+    assert uncased_equal(b"Hello", b"hELLO")
+    assert not uncased_equal(b"Hello", b"World")
+    assert uncased_equal("ΣΊΣΥΦΟΣ".encode(), "σίσυφοσ".encode())
+
+
+def test_uncased_count():
+    hay = "Die Straße heißt STRASSE, die strasse!".encode()
+    folded = fold_bytes(np.frombuffer(hay, np.uint8))
+    # folded text: "die straße heißt strasse, die strasse!".casefold()
+    # "strasse" appears where ß→ss folds make it so: Straße->strasse,
+    # STRASSE->strasse, strasse->strasse.
+    assert uncased_count(folded, b"STRASSE") == 3
+    assert uncased_count(folded, "straße".encode()) == 3
+    assert uncased_count(folded, b"die") == 2
+    assert uncased_count(folded, b"zzz") == 0

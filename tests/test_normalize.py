@@ -1,0 +1,52 @@
+"""K10 normalization conformance vs unicodedata.normalize (UCD 15.0)."""
+
+import unicodedata
+
+import numpy as np
+import pytest
+
+from stringwars_tpu.ops.normalize import normalize_text
+
+SAMPLES = [
+    "plain ascii stays",
+    "café résumé naïve",  # precomposed in
+    "café résumé",  # decomposed in
+    "á̧",  # multiple marks (acute + cedilla, reorder)
+    "á̧",  # same marks, other order
+    "ḍ̇",  # d-dot-above + dot-below (classic reorder case)
+    "한국어",  # precomposed Hangul
+    "한",  # decomposed Hangul jamo
+    "ﬁﬂ ﬀ",  # compat ligatures (NFK* only)
+    "①②③ ½",  # compat digits
+    "Ω Å",  # singleton decompositions (U+2126, U+212B)
+    "q̣̇",  # q + dot-above + dot-below
+    "ཷ",  # NFKD expansion of length 2 with reorder
+    "ﷺ",  # longest NFKD expansion (18)
+    "ṩ",  # s + dot-below + dot-above -> composes
+]
+
+
+@pytest.mark.parametrize("form", ["NFD", "NFKD", "NFC", "NFKC"])
+@pytest.mark.parametrize("text", SAMPLES)
+def test_normalize_known(form, text):
+    assert normalize_text(text, form) == unicodedata.normalize(form, text)
+
+
+@pytest.mark.parametrize("form", ["NFD", "NFKD", "NFC", "NFKC"])
+def test_normalize_fuzz(rng, form):
+    interesting = (
+        list(range(0x20, 0x80))
+        + list(range(0xC0, 0x180))
+        + list(range(0x300, 0x370))
+        + list(range(0x1E00, 0x1F00))
+        + list(range(0xAC00, 0xAC20))
+        + list(range(0x1100, 0x1120))
+        + list(range(0x1161, 0x1176))
+        + list(range(0xFB00, 0xFB10))
+        + [0x2126, 0x212B, 0x0F77]
+    )
+    pool = np.array(interesting)
+    for _ in range(60):
+        n = int(rng.integers(1, 24))
+        text = "".join(chr(c) for c in pool[rng.integers(0, pool.size, n)])
+        assert normalize_text(text, form) == unicodedata.normalize(form, text), repr(text)
