@@ -1,0 +1,287 @@
+"""Segmentation: whitespace/newline splits, TR29 graphemes & words (K9).
+
+Reference rows (``tokenization/bench.rs:78-456``): tokenize-whitespace (25
+Unicode WS chars), tokenize-newlines, tokenize-words-tr29,
+tokenize-graphemes-tr29, tokenize-sentences-tr29, tokenize-lines-uax14 —
+all counted as segments per pass over the corpus.
+
+TPU formulation: segmentation is a *boundary mask* problem. Codepoint
+classes come from replicated UCD tables (``unicode.tables``); every TR29
+pair rule becomes dense vector logic between shifted class lanes; the
+irregular parts (ignore-rules, RI parity, emoji ZWJ context, lookahead)
+use cumulative scans (cummax/segmented counts) instead of backtracking.
+Counts are mask sums; offsets are ``nonzero``-free (cumsum + scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stringwars_tpu.ops.utf8 import utf8_decode
+from stringwars_tpu.unicode import tables
+
+_ASCII_WS = (9, 10, 11, 12, 13, 32)
+
+
+# ---------------------------------------------------------------------------
+# Whitespace / newline splitting
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def whitespace_token_count(data: jax.Array, n: int) -> jax.Array:
+    """Count of runs of non-whitespace codepoints (Unicode White_Space)."""
+    cps, count = utf8_decode(data, n)
+    ws_np = tables.whitespace_table()
+    is_ws = jnp.take(jnp.asarray(ws_np), cps)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = pos < count
+    tok = valid & ~is_ws
+    prev = jnp.pad(tok, (1, 0))[:n]
+    return jnp.sum((tok & ~prev).astype(jnp.int32), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def newline_split_count(data: jax.Array, n: int) -> jax.Array:
+    """Count of segments delimited by Unicode newline functions
+    (LF, VT, FF, CR, NEL, LS, PS; CRLF counts once)."""
+    cps, count = utf8_decode(data, n)
+    nl = jnp.take(jnp.asarray(tables.newline_table()), cps)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = pos < count
+    nxt = jnp.pad(cps, (0, 1))[1 : n + 1]
+    crlf = (cps == 0x0D) & (nxt == 0x0A)
+    breaks = jnp.sum((nl & valid & ~crlf).astype(jnp.int32), dtype=jnp.int32)
+    return breaks + 1
+
+
+# ---------------------------------------------------------------------------
+# TR29 grapheme clusters
+# ---------------------------------------------------------------------------
+
+_G = {name: i for i, name in enumerate(tables.GCB_VALUES)}
+
+
+def _cummax(x: jax.Array) -> jax.Array:
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """(boundary bool[n], cluster_count) over ``data[:n]`` (UTF-8).
+
+    ``boundary[i]`` is True when a grapheme cluster starts at codepoint
+    slot i (slots are the compacted decode positions).
+    """
+    cps, count = utf8_decode(data, n)
+    cls = jnp.take(jnp.asarray(tables.grapheme_break_table()), cps)
+    pict = jnp.take(jnp.asarray(tables.extended_pictographic_table()), cps)
+    prev = jnp.pad(cls, (1, 0))[:n]  # class of cp[i-1]; pad -> Other at i=0
+    G = _G
+
+    # GB12/13 RI parity: runs of RI ending at i-1 with odd length.
+    ri = cls == G["Regional_Indicator"]
+    s = jnp.cumsum(ri.astype(jnp.int32))
+    base = _cummax(jnp.where(~ri, s, 0))
+    ri_run = s - base  # consecutive RIs ending at i (inclusive)
+    ri_run_prev = jnp.pad(ri_run, (1, 0))[:n]
+
+    # GB11 context: before the ZWJ at i-1, the last non-Extend cp is ExtPict.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    non_extend_idx = _cummax(jnp.where(cls != G["Extend"], idx, -1))
+    pe = jnp.take(pict, jnp.clip(non_extend_idx, 0, n - 1)) & (non_extend_idx >= 0)
+    pe_before_zwj = jnp.pad(pe, (2, 0))[:n]  # pe at i-2
+
+    ctl = (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"])
+    ctl_prev = jnp.pad(ctl, (1, 0))[:n]
+
+    no_break = jnp.zeros((n,), bool)
+    # GB3: CR x LF
+    no_break |= (prev == G["CR"]) & (cls == G["LF"])
+    gb45 = (ctl_prev | ctl) & ~((prev == G["CR"]) & (cls == G["LF"]))
+    # GB6-8 Hangul
+    hangul = (
+        ((prev == G["L"]) & ((cls == G["L"]) | (cls == G["V"]) | (cls == G["LV"]) | (cls == G["LVT"])))
+        | (((prev == G["LV"]) | (prev == G["V"])) & ((cls == G["V"]) | (cls == G["T"])))
+        | (((prev == G["LVT"]) | (prev == G["T"])) & (cls == G["T"]))
+    )
+    # GB9 / 9a / 9b
+    attach = (cls == G["Extend"]) | (cls == G["ZWJ"]) | (cls == G["SpacingMark"])
+    prepend = prev == G["Prepend"]
+    # GB11
+    zwj_pict = (prev == G["ZWJ"]) & pict & pe_before_zwj
+    # GB12/13
+    ri_pair = (prev == G["Regional_Indicator"]) & ri & ((ri_run_prev % 2) == 1)
+
+    # GB9c (Unicode 15.1 Indic conjuncts): Consonant [Extend|Linker]*
+    # Linker [Extend|Linker]* x Consonant.
+    incb = jnp.take(jnp.asarray(tables.incb_table()), cps)
+    el = (incb == 1) | (incb == 2)  # Extend | Linker
+    last_non_el = _cummax(jnp.where(~el, idx, -1))
+    linker_cum = jnp.cumsum((incb == 2).astype(jnp.int32))
+    j = jnp.pad(last_non_el, (1, 0), constant_values=-1)[:n]  # at i-1
+    j_ok = (j >= 0) & (jnp.take(incb, jnp.clip(j, 0, n - 1)) == 3)
+    linker_at_prev = jnp.pad(linker_cum, (1, 0))[:n]  # cumsum through i-1
+    linkers_between = linker_at_prev - jnp.take(
+        linker_cum, jnp.clip(j, 0, n - 1)
+    )
+    conjunct = (incb == 3) & j_ok & (linkers_between >= 1)
+
+    no_break |= (~gb45) & (hangul | attach | prepend | zwj_pict | ri_pair | conjunct)
+
+    boundary = ~no_break
+    valid = idx < count
+    boundary &= valid
+    boundary = boundary.at[0].set(count > 0)
+    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+
+
+def grapheme_clusters(text: str) -> list[str]:
+    """Host oracle-facing API: split a string into grapheme clusters."""
+    data = np.frombuffer(text.encode(), np.uint8)
+    n = data.shape[0]
+    if n == 0:
+        return []
+    boundary, _ = grapheme_boundaries(jnp.asarray(data), n)
+    cps, count = utf8_decode(jnp.asarray(data), n)
+    cps = np.asarray(cps)[: int(count)]
+    b = np.asarray(boundary)[: int(count)]
+    out = []
+    starts = np.flatnonzero(b)
+    ends = np.append(starts[1:], count)
+    for s, e in zip(starts, ends):
+        out.append("".join(chr(c) for c in cps[s:e]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TR29 word boundaries
+# ---------------------------------------------------------------------------
+
+_W = {name: i for i, name in enumerate(tables.WB_VALUES)}
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """(boundary bool[n], word_segment_count) per TR29 word rules.
+
+    ``boundary[i]`` True = a word boundary exists before codepoint slot i.
+    The count reported is the number of *segments* (boundary count over
+    [0, count), matching segment-iterator .count() semantics).
+    """
+    cps, count = utf8_decode(data, n)
+    cls = jnp.take(jnp.asarray(tables.word_break_table()), cps)
+    pict = jnp.take(jnp.asarray(tables.extended_pictographic_table()), cps)
+    W = _W
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+
+    ignore = (cls == W["Extend"]) | (cls == W["Format"]) | (cls == W["ZWJ"])
+    newline = (cls == W["CR"]) | (cls == W["LF"]) | (cls == W["Newline"])
+
+    # Effective previous class (skip ignorables backwards): class at the
+    # last non-ignored position strictly before i.
+    keep_idx = jnp.where(~ignore & valid, idx, -1)
+    last_keep_at = _cummax(keep_idx)  # last kept position <= i
+    last_keep_before = jnp.pad(last_keep_at, (1, 0), constant_values=-1)[:n]  # < i
+    prev_eff = jnp.where(
+        last_keep_before >= 0, jnp.take(cls, jnp.clip(last_keep_before, 0, n - 1)), -1
+    )
+    # The kept position before that (for two-back rules WB7/7c/11).
+    last_keep_before2 = jnp.where(
+        last_keep_before >= 0,
+        jnp.take(
+            jnp.pad(last_keep_at, (1, 0), constant_values=-1)[:n],
+            jnp.clip(last_keep_before, 0, n - 1),
+        ),
+        -1,
+    )
+    prev2_eff = jnp.where(
+        last_keep_before2 >= 0, jnp.take(cls, jnp.clip(last_keep_before2, 0, n - 1)), -1
+    )
+
+    # Effective next class (skip ignorables forward, strictly after i).
+    rev = lambda x: x[::-1]
+    keep_idx_fwd = jnp.where(~ignore & valid, idx, n + 1)
+    next_keep_at = rev(jax.lax.associative_scan(jnp.minimum, rev(keep_idx_fwd)))
+    next_keep_after = jnp.pad(next_keep_at, (0, 1), constant_values=n + 1)[1 : n + 1]  # > i
+    next_eff = jnp.where(
+        next_keep_after <= n - 1, jnp.take(cls, jnp.clip(next_keep_after, 0, n - 1)), -1
+    )
+
+    prev_raw = jnp.pad(cls, (1, 0))[:n]
+    prev_is_nl = jnp.pad(newline, (1, 0))[:n]
+
+    def isin(c, names):
+        out = jnp.zeros(c.shape, bool)
+        for name in names:
+            out |= c == W[name]
+        return out
+
+    AH = ("ALetter", "Hebrew_Letter")
+    MidNumLetQ = ("MidNumLet", "Single_Quote")
+
+    # RI parity over non-ignored RIs.
+    ri = (cls == W["Regional_Indicator"]) & ~ignore
+    s = jnp.cumsum(ri.astype(jnp.int32))
+    base = _cummax(jnp.where(~ri & ~ignore, s, 0))
+    ri_run = s - base
+    ri_run_prev_eff = jnp.where(
+        last_keep_before >= 0, jnp.take(ri_run, jnp.clip(last_keep_before, 0, n - 1)), 0
+    )
+
+    no_break = jnp.zeros((n,), bool)
+    # WB3: CR x LF
+    wb3 = (prev_raw == W["CR"]) & (cls == W["LF"])
+    no_break |= wb3
+    # WB3a/3b: breaks around newlines (dominates everything except WB3).
+    wb3ab = (prev_is_nl | newline) & ~wb3
+    # WB3c: ZWJ x ExtPict (raw adjacency)
+    no_break |= (prev_raw == W["ZWJ"]) & pict
+    # WB3d: WSegSpace x WSegSpace (raw adjacency)
+    no_break |= (prev_raw == W["WSegSpace"]) & (cls == W["WSegSpace"])
+    # WB4: X (Extend|Format|ZWJ)* -> no break before ignorables
+    # (unless after sot / newline, handled via wb3ab and valid).
+    no_break |= ignore & (last_keep_before >= 0) & ~prev_is_nl
+    # Rules on effective classes (current must be non-ignored).
+    cur = jnp.where(ignore, jnp.int32(-2), cls)  # ignorables already decided
+    pe, p2 = prev_eff, prev2_eff
+    nb = jnp.zeros((n,), bool)
+    nb |= isin(pe, AH) & isin(cur, AH)  # WB5
+    nb |= isin(pe, AH) & (isin(cur, ("MidLetter",)) | isin(cur, MidNumLetQ)) & isin(next_eff, AH)  # WB6
+    nb |= (isin(p2, AH) & (isin(pe, ("MidLetter",)) | isin(pe, MidNumLetQ))) & isin(cur, AH)  # WB7
+    nb |= (pe == W["Hebrew_Letter"]) & (cur == W["Single_Quote"])  # WB7a
+    nb |= (pe == W["Hebrew_Letter"]) & (cur == W["Double_Quote"]) & (next_eff == W["Hebrew_Letter"])  # WB7b
+    nb |= (p2 == W["Hebrew_Letter"]) & (pe == W["Double_Quote"]) & (cur == W["Hebrew_Letter"])  # WB7c
+    nb |= (pe == W["Numeric"]) & (cur == W["Numeric"])  # WB8
+    nb |= isin(pe, AH) & (cur == W["Numeric"])  # WB9
+    nb |= (pe == W["Numeric"]) & isin(cur, AH)  # WB10
+    nb |= (p2 == W["Numeric"]) & (isin(pe, ("MidNum",)) | isin(pe, MidNumLetQ)) & (cur == W["Numeric"])  # WB11
+    nb |= (pe == W["Numeric"]) & (isin(cur, ("MidNum",)) | isin(cur, MidNumLetQ)) & (next_eff == W["Numeric"])  # WB12
+    nb |= (pe == W["Katakana"]) & (cur == W["Katakana"])  # WB13
+    nb |= isin(pe, ("ALetter", "Hebrew_Letter", "Numeric", "Katakana", "ExtendNumLet")) & (cur == W["ExtendNumLet"])  # WB13a
+    nb |= (pe == W["ExtendNumLet"]) & isin(cur, ("ALetter", "Hebrew_Letter", "Numeric", "Katakana"))  # WB13b
+    nb |= (pe == W["Regional_Indicator"]) & (cur == W["Regional_Indicator"]) & ((ri_run_prev_eff % 2) == 1)  # WB15/16
+    no_break |= nb & ~wb3ab
+
+    boundary = ~no_break & valid
+    boundary = boundary.at[0].set(count > 0)
+    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+
+
+def word_segments(text: str) -> list[str]:
+    """Host API: split into TR29 word segments (including space runs)."""
+    data = np.frombuffer(text.encode(), np.uint8)
+    n = data.shape[0]
+    if n == 0:
+        return []
+    boundary, _ = word_boundaries(jnp.asarray(data), n)
+    cps, count = utf8_decode(jnp.asarray(data), n)
+    cps = np.asarray(cps)[: int(count)]
+    b = np.asarray(boundary)[: int(count)]
+    starts = np.flatnonzero(b)
+    ends = np.append(starts[1:], count)
+    return ["".join(chr(c) for c in cps[s:e]) for s, e in zip(starts, ends)]

@@ -161,3 +161,124 @@ def newline_table() -> np.ndarray:
     for cp in NEWLINE_CPS:
         nl[cp] = True
     return nl
+
+
+# ---------------------------------------------------------------------------
+# Break-property tables (TR29 / UAX#14), generated via the `regex` module,
+# which exposes the UCD break properties as \p{...} classes.
+# ---------------------------------------------------------------------------
+
+GCB_VALUES = (
+    "Other", "CR", "LF", "Control", "Extend", "ZWJ", "Regional_Indicator",
+    "Prepend", "SpacingMark", "L", "V", "T", "LV", "LVT",
+)
+WB_VALUES = (
+    "Other", "CR", "LF", "Newline", "Extend", "ZWJ", "Regional_Indicator",
+    "Format", "Katakana", "Hebrew_Letter", "ALetter", "Single_Quote",
+    "Double_Quote", "MidNumLet", "MidLetter", "MidNum", "Numeric",
+    "ExtendNumLet", "WSegSpace",
+)
+SB_VALUES = (
+    "Other", "CR", "LF", "Extend", "Sep", "Format", "Sp", "Lower", "Upper",
+    "OLetter", "Numeric", "ATerm", "STerm", "Close", "SContinue",
+)
+
+
+def _scan_property(prop: str, values: tuple[str, ...]) -> np.ndarray:
+    """Classify every codepoint by regex \\p{prop=value} span scans."""
+    import regex
+
+    all_chars = "".join(
+        chr(c) for c in range(MAX_CP) if not (0xD800 <= c <= 0xDFFF)
+    )
+    cp_of_index = np.array(
+        [c for c in range(MAX_CP) if not (0xD800 <= c <= 0xDFFF)], dtype=np.int64
+    )
+    table = np.zeros(MAX_CP, dtype=np.uint8)  # 0 = values[0] ("Other")
+    for vi, value in enumerate(values[1:], start=1):
+        pattern = regex.compile(rf"[\p{{{prop}={value}}}]+", regex.V1)
+        for m in pattern.finditer(all_chars):
+            table[cp_of_index[m.start() : m.end()]] = vi
+    return table
+
+
+@functools.lru_cache(maxsize=None)
+def grapheme_break_table() -> np.ndarray:
+    path = _cache_path("gcb")
+    if os.path.exists(path):
+        return np.load(path)["t"]
+    print("generating grapheme-break tables (one-time)...", file=sys.stderr)
+    t = _scan_property("Grapheme_Cluster_Break", GCB_VALUES)
+    np.savez_compressed(path, t=t)
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def word_break_table() -> np.ndarray:
+    path = _cache_path("wb")
+    if os.path.exists(path):
+        return np.load(path)["t"]
+    print("generating word-break tables (one-time)...", file=sys.stderr)
+    t = _scan_property("Word_Break", WB_VALUES)
+    np.savez_compressed(path, t=t)
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def sentence_break_table() -> np.ndarray:
+    path = _cache_path("sb")
+    if os.path.exists(path):
+        return np.load(path)["t"]
+    print("generating sentence-break tables (one-time)...", file=sys.stderr)
+    t = _scan_property("Sentence_Break", SB_VALUES)
+    np.savez_compressed(path, t=t)
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def extended_pictographic_table() -> np.ndarray:
+    path = _cache_path("extpict")
+    if os.path.exists(path):
+        return np.load(path)["t"]
+    import regex
+
+    print("generating ExtPict table (one-time)...", file=sys.stderr)
+    t = np.zeros(MAX_CP, dtype=bool)
+    all_chars = "".join(chr(c) for c in range(MAX_CP) if not (0xD800 <= c <= 0xDFFF))
+    cp_of_index = np.array(
+        [c for c in range(MAX_CP) if not (0xD800 <= c <= 0xDFFF)], dtype=np.int64
+    )
+    for m in regex.compile(r"[\p{Extended_Pictographic}]+", regex.V1).finditer(all_chars):
+        t[cp_of_index[m.start() : m.end()]] = True
+    np.savez_compressed(path, t=t)
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def line_break_table() -> tuple[np.ndarray, tuple[str, ...]]:
+    """UAX#14 line-break classes (resolved set used by the pair rules)."""
+    path = _cache_path("lb")
+    values = (
+        "XX", "BK", "CR", "LF", "NL", "SP", "ZW", "WJ", "GL", "BA", "BB",
+        "B2", "HY", "CB", "CL", "CP", "EX", "IN", "NS", "OP", "QU", "IS",
+        "NU", "PO", "PR", "SY", "AI", "AL", "CJ", "EB", "EM", "H2", "H3",
+        "HL", "ID", "JL", "JT", "JV", "RI", "SA", "CM", "ZWJ",
+    )
+    if os.path.exists(path):
+        return np.load(path)["t"], values
+    print("generating line-break tables (one-time)...", file=sys.stderr)
+    t = _scan_property("Line_Break", values)
+    np.savez_compressed(path, t=t)
+    return t, values
+
+
+@functools.lru_cache(maxsize=None)
+def incb_table() -> np.ndarray:
+    """Indic_Conjunct_Break: 0=None, 1=Extend, 2=Linker, 3=Consonant (GB9c)."""
+    path = _cache_path("incb")
+    if os.path.exists(path):
+        return np.load(path)["t"]
+    print("generating InCB table (one-time)...", file=sys.stderr)
+    t = _scan_property("InCB", ("None", "Extend", "Linker", "Consonant"))
+    np.savez_compressed(path, t=t)
+    return t
