@@ -1,0 +1,58 @@
+"""K13 conformance: ChaCha20-Poly1305 vs RFC 8439 vectors + OpenSSL."""
+
+import numpy as np
+import pytest
+from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
+
+from stringwars_tpu.ops.chacha import aead_decrypt, aead_encrypt, chacha20_xor, poly1305_tag
+
+
+def test_chacha20_rfc8439_block():
+    # RFC 8439 §2.4.2 test vector: key 00..1f, nonce 00 00 00 00 00 00 00 4a
+    # 00 00 00 00 reordered per RFC: nonce = 000000000000004a00000000
+    key = bytes(range(32))
+    nonce = bytes.fromhex("000000000000004a00000000")
+    plaintext = (
+        b"Ladies and Gentlemen of the class of '99: If I could offer you "
+        b"only one tip for the future, sunscreen would be it."
+    )
+    ct = np.asarray(chacha20_xor(key, nonce, np.frombuffer(plaintext, np.uint8), counter=1))
+    want = bytes.fromhex(
+        "6e2e359a2568f98041ba0728dd0d6981e97e7aec1d4360c20a27afccfd9fae0b"
+        "f91b65c5524733ab8f593dabcd62b3571639d624e65152ab8f530c359f0861d8"
+        "07ca0dbf500d6a6156a38e088a22b65e52bc514d16ccf806818ce91ab7793736"
+        "5af90bbf74a35be6b40b8eedf2785e42874d"
+    )
+    assert ct.tobytes() == want
+
+
+def test_poly1305_rfc8439():
+    key = bytes.fromhex(
+        "85d6be7857556d337f4452fe42d506a80103808afb0db2fd4abff6af4149f51b"
+    )
+    msg = b"Cryptographic Forum Research Group"
+    assert poly1305_tag(key, msg) == bytes.fromhex("a8061dc1305136c6c22b8baf0c0127a9")
+
+
+@pytest.mark.parametrize("size", [0, 1, 15, 16, 17, 64, 1000, 65536, 200_000])
+def test_aead_matches_openssl(rng, size):
+    key = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+    nonce = bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+    pt = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+    aad = b"header" if size % 2 else b""
+    ct, tag = aead_encrypt(key, nonce, pt, aad)
+    want = ChaCha20Poly1305(key).encrypt(nonce, pt, aad if aad else None)
+    assert ct.tobytes() + tag == want
+
+
+def test_aead_roundtrip_and_tamper(rng):
+    key = bytes(32)
+    nonce = bytes(12)
+    pt = b"attack at dawn" * 100
+    ct, tag = aead_encrypt(key, nonce, pt)
+    out = aead_decrypt(key, nonce, ct, tag)
+    assert out.tobytes() == pt
+    bad = bytearray(tag)
+    bad[0] ^= 1
+    with pytest.raises(ValueError):
+        aead_decrypt(key, nonce, ct, bytes(bad))
