@@ -285,3 +285,295 @@ def word_segments(text: str) -> list[str]:
     starts = np.flatnonzero(b)
     ends = np.append(starts[1:], count)
     return ["".join(chr(c) for c in cps[s:e]) for s, e in zip(starts, ends)]
+
+
+# ---------------------------------------------------------------------------
+# TR29 sentence boundaries (SB1-SB11; default is NO break — SB998)
+# ---------------------------------------------------------------------------
+
+_S = {name: i for i, name in enumerate(tables.SB_VALUES)}
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """(boundary bool[n], sentence_count) per TR29 sentence rules."""
+    cps, count = utf8_decode(data, n)
+    cls = jnp.take(jnp.asarray(tables.sentence_break_table()), cps)
+    S = _S
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+
+    ign = (cls == S["Extend"]) | (cls == S["Format"])
+    parasep = (cls == S["Sep"]) | (cls == S["CR"]) | (cls == S["LF"])
+
+    # Effective class: ignorables attach to the previous non-ignorable
+    # (SB5), except nothing attaches across ParaSep.
+    keep = ~ign & valid
+    last_keep = _cummax(jnp.where(keep, idx, -1))
+    eff = jnp.where(
+        last_keep >= 0, jnp.take(cls, jnp.clip(last_keep, 0, n - 1)), jnp.int32(S["Other"])
+    )
+    eff = jnp.where(
+        ign & jnp.take(parasep, jnp.clip(last_keep, 0, n - 1)) & (last_keep >= 0),
+        jnp.int32(S["Other"]),
+        eff,
+    )
+
+    prev_raw = jnp.pad(cls, (1, 0), constant_values=S["Other"])[:n]
+    prev_eff = jnp.pad(eff, (1, 0), constant_values=S["Other"])[:n]
+    prev_idx = idx - 1
+
+    # prev2 effective (significant char before the previous one).
+    last_keep_before = jnp.pad(last_keep, (1, 0), constant_values=-1)[:n]
+    lk2 = jnp.where(
+        last_keep_before >= 0,
+        jnp.take(
+            jnp.pad(last_keep, (1, 0), constant_values=-1)[:n],
+            jnp.clip(last_keep_before, 0, n - 1),
+        ),
+        -1,
+    )
+    prev2_eff = jnp.where(lk2 >= 0, jnp.take(cls, jnp.clip(lk2, 0, n - 1)), S["Other"])
+
+    # Backward context at prev: skip Sp*, then Close*, then test SATerm.
+    non_sp = _cummax(jnp.where((eff != S["Sp"]) & valid, idx, -1))
+    non_close = _cummax(jnp.where((eff != S["Close"]) & valid, idx, -1))
+    j = jnp.take(jnp.pad(non_sp, (1, 0), constant_values=-1), idx)  # at prev
+    k = jnp.where(j >= 0, jnp.take(non_close, jnp.clip(j, 0, n - 1)), -1)
+    ctx_cls = jnp.where(k >= 0, jnp.take(eff, jnp.clip(k, 0, n - 1)), S["Other"])
+    saterm_ctx = (ctx_cls == S["ATerm"]) | (ctx_cls == S["STerm"])
+    aterm_ctx = ctx_cls == S["ATerm"]
+    # SB9 variant: Close* only (no Sp skipped).
+    k9 = jnp.take(jnp.pad(non_close, (1, 0), constant_values=-1), idx)
+    ctx9_cls = jnp.where(k9 >= 0, jnp.take(eff, jnp.clip(k9, 0, n - 1)), S["Other"])
+    saterm_ctx9 = (ctx9_cls == S["ATerm"]) | (ctx9_cls == S["STerm"])
+
+    # Forward scan for SB8: first "stopper" at/after cur is Lower?
+    stopper = (
+        (eff == S["OLetter"]) | (eff == S["Upper"]) | (eff == S["Lower"])
+        | parasep | (eff == S["ATerm"]) | (eff == S["STerm"])
+    )
+    big = jnp.int32(n + 1)
+    rev = lambda x: x[::-1]
+    next_stop = rev(jax.lax.associative_scan(jnp.minimum, rev(jnp.where(stopper & valid, idx, big))))
+    next_stop_cls = jnp.where(
+        next_stop <= n - 1, jnp.take(eff, jnp.clip(next_stop, 0, n - 1)), S["Other"]
+    )
+
+    cur = eff
+    # Build from lowest to highest precedence (later writes win).
+    boundary = jnp.zeros((n,), bool)  # SB998: no break
+    # SB11: SATerm Close* Sp* ÷ (anything not matched below).
+    boundary = jnp.where(saterm_ctx, True, boundary)
+    # SB10: ... x (Sp | ParaSep) -> no break.
+    boundary = jnp.where(saterm_ctx & ((cur == S["Sp"]) | parasep), False, boundary)
+    # SB9: SATerm Close* x (Close | Sp | ParaSep).
+    boundary = jnp.where(
+        saterm_ctx9 & ((cur == S["Close"]) | (cur == S["Sp"]) | parasep), False, boundary
+    )
+    # SB8a: ... x (SContinue | SATerm).
+    boundary = jnp.where(
+        saterm_ctx & ((cur == S["SContinue"]) | (cur == S["ATerm"]) | (cur == S["STerm"])),
+        False,
+        boundary,
+    )
+    # SB8: ATerm Close* Sp* x (not-stopper)* Lower.
+    boundary = jnp.where(aterm_ctx & (next_stop_cls == S["Lower"]), False, boundary)
+    # SB7: (Upper|Lower) ATerm x Upper.
+    boundary = jnp.where(
+        ((prev2_eff == S["Upper"]) | (prev2_eff == S["Lower"]))
+        & (prev_eff == S["ATerm"]) & (cur == S["Upper"]),
+        False,
+        boundary,
+    )
+    # SB6: ATerm x Numeric.
+    boundary = jnp.where((prev_eff == S["ATerm"]) & (cur == S["Numeric"]), False, boundary)
+    # SB5: x (Extend | Format) — unless after ParaSep.
+    prev_parasep = jnp.pad(parasep, (1, 0))[:n]
+    boundary = jnp.where(ign & ~prev_parasep, False, boundary)
+    # SB4: ParaSep ÷.
+    boundary = jnp.where(prev_parasep, True, boundary)
+    # SB3: CR x LF.
+    boundary = jnp.where((prev_raw == S["CR"]) & (cls == S["LF"]), False, boundary)
+
+    boundary &= valid
+    boundary = boundary.at[0].set(count > 0)
+    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+
+
+def sentence_segments(text: str) -> list[str]:
+    """Host API: split a string into TR29 sentence segments."""
+    data = np.frombuffer(text.encode(), np.uint8)
+    n = data.shape[0]
+    if n == 0:
+        return []
+    boundary, _ = sentence_boundaries(jnp.asarray(data), n)
+    cps, count = utf8_decode(jnp.asarray(data), n)
+    cps = np.asarray(cps)[: int(count)]
+    b = np.asarray(boundary)[: int(count)]
+    starts = np.flatnonzero(b)
+    ends = np.append(starts[1:], count)
+    return ["".join(chr(c) for c in cps[s:e]) for s, e in zip(starts, ends)]
+
+
+# ---------------------------------------------------------------------------
+# UAX#14 line-break opportunities (core rule set LB1-LB31)
+# ---------------------------------------------------------------------------
+
+_LB_VALUES = None
+_L = None
+
+
+def _lb_classes():
+    global _LB_VALUES, _L
+    if _L is None:
+        table, values = tables.line_break_table()
+        _LB_VALUES = values
+        _L = {name: i for i, name in enumerate(values)}
+    return _L
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """(break_allowed bool[n], opportunity_count) per UAX#14 core rules.
+
+    ``break_allowed[i]`` = a line may break before codepoint slot i
+    (mandatory breaks included). Implements LB1 class resolution and the
+    pair rules LB4-LB31 (number-chain LB25 in its simplified pair form;
+    LB15/28a omitted like most practical implementations).
+    """
+    L = _lb_classes()
+    table_np, _ = tables.line_break_table()
+    cps, count = utf8_decode(data, n)
+    cls = jnp.take(jnp.asarray(table_np.astype(np.int32)), cps)
+
+    # LB1 resolution: AI/SA/XX -> AL, CJ -> NS.
+    cls = jnp.where((cls == L["AI"]) | (cls == L["SA"]) | (cls == L["XX"]), L["AL"], cls)
+    cls = jnp.where(cls == L["CJ"], L["NS"], cls)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+
+    # LB9: X CM* -> X (CM/ZWJ attach to base unless base is BK/CR/LF/NL/SP/ZW).
+    cm = (cls == L["CM"]) | (cls == L["ZWJ"])
+    hard = (
+        (cls == L["BK"]) | (cls == L["CR"]) | (cls == L["LF"]) | (cls == L["NL"])
+        | (cls == L["SP"]) | (cls == L["ZW"])
+    )
+    base_idx = _cummax(jnp.where(~cm & valid, idx, -1))
+    base_cls = jnp.where(base_idx >= 0, jnp.take(cls, jnp.clip(base_idx, 0, n - 1)), L["AL"])
+    attached = cm & (base_idx >= 0) & ~jnp.take(hard, jnp.clip(base_idx, 0, n - 1))
+    eff = jnp.where(cm, jnp.where(attached, base_cls, L["AL"]), cls)  # LB10: lone CM -> AL
+
+    prev_raw = jnp.pad(cls, (1, 0), constant_values=L["BK"])[:n]
+    prev = jnp.pad(eff, (1, 0), constant_values=L["BK"])[:n]
+
+    # SP*-skipping context (LB8/14/16/17): class before the space run.
+    non_sp = _cummax(jnp.where((eff != L["SP"]) & valid, idx, -1))
+    before_sp_idx = jnp.take(jnp.pad(non_sp, (1, 0), constant_values=-1), idx)
+    before_sp = jnp.where(
+        before_sp_idx >= 0, jnp.take(eff, jnp.clip(before_sp_idx, 0, n - 1)), L["BK"]
+    )
+
+    def isin(c, names):
+        out = jnp.zeros(c.shape, bool)
+        for name in names:
+            out |= c == L[name]
+        return out
+
+    mandatory_prev = isin(prev_raw, ("BK", "CR", "LF", "NL")) & ~(
+        (prev_raw == L["CR"]) & (cls == L["LF"])
+    )
+
+    # RI parity (LB30a).
+    ri = eff == L["RI"]
+    s = jnp.cumsum(ri.astype(jnp.int32))
+    base = _cummax(jnp.where(~ri, s, 0))
+    ri_run_prev = jnp.pad(s - base, (1, 0))[:n]
+
+    no_break = jnp.zeros((n,), bool)
+    # LB6: x (BK|CR|LF|NL); LB5 CRxLF folded in via mandatory_prev.
+    no_break |= isin(eff, ("BK", "CR", "LF", "NL"))
+    # LB7: x SP, x ZW.
+    no_break |= isin(eff, ("SP", "ZW"))
+    # LB8a: ZWJ x.
+    no_break |= prev_raw == L["ZWJ"]
+    # LB9 attachment: x CM (attached).
+    no_break |= attached
+    # LB11: x WJ; WJ x.
+    no_break |= (eff == L["WJ"]) | (prev == L["WJ"])
+    # LB12: GL x; LB12a: (not SP|BA|HY) x GL.
+    no_break |= prev == L["GL"]
+    no_break |= (eff == L["GL"]) & ~isin(prev, ("SP", "BA", "HY"))
+    # LB13: x CL|CP|EX|IS|SY.
+    no_break |= isin(eff, ("CL", "CP", "EX", "IS", "SY"))
+    # LB14: OP SP* x.
+    no_break |= before_sp == L["OP"]
+    # LB16: (CL|CP) SP* x NS.
+    no_break |= isin(before_sp, ("CL", "CP")) & (eff == L["NS"])
+    # LB17: B2 SP* x B2.
+    no_break |= (before_sp == L["B2"]) & (eff == L["B2"])
+    # LB19: x QU; QU x.
+    no_break |= (eff == L["QU"]) | (prev == L["QU"])
+    # LB21: x (BA|HY|NS); BB x.
+    no_break |= isin(eff, ("BA", "HY", "NS")) | (prev == L["BB"])
+    # LB21a: HL (HY|BA) x.
+    prev2 = jnp.pad(eff, (2, 0), constant_values=L["BK"])[:n]
+    no_break |= (prev2 == L["HL"]) & isin(prev, ("HY", "BA"))
+    # LB21b: SY x HL.
+    no_break |= (prev == L["SY"]) & (eff == L["HL"])
+    # LB22: x IN.
+    no_break |= eff == L["IN"]
+    # LB23: (AL|HL) x NU; NU x (AL|HL).
+    no_break |= isin(prev, ("AL", "HL")) & (eff == L["NU"])
+    no_break |= (prev == L["NU"]) & isin(eff, ("AL", "HL"))
+    # LB23a: PR x (ID|EB|EM); (ID|EB|EM) x PO.
+    no_break |= (prev == L["PR"]) & isin(eff, ("ID", "EB", "EM"))
+    no_break |= isin(prev, ("ID", "EB", "EM")) & (eff == L["PO"])
+    # LB24: (PR|PO) x (AL|HL); (AL|HL) x (PR|PO).
+    no_break |= isin(prev, ("PR", "PO")) & isin(eff, ("AL", "HL"))
+    no_break |= isin(prev, ("AL", "HL")) & isin(eff, ("PR", "PO"))
+    # LB25 (simplified pairs): numeric chains.
+    no_break |= isin(prev, ("PR", "PO", "OP", "HY", "NU", "SY", "IS")) & (eff == L["NU"])
+    no_break |= (prev == L["NU"]) & isin(eff, ("NU", "SY", "IS", "CL", "CP", "PO", "PR"))
+    no_break |= isin(prev, ("CL", "CP")) & isin(eff, ("PO", "PR"))
+    # LB26/27: Korean syllable blocks.
+    no_break |= (prev == L["JL"]) & isin(eff, ("JL", "JV", "H2", "H3"))
+    no_break |= isin(prev, ("JV", "H2")) & isin(eff, ("JV", "JT"))
+    no_break |= isin(prev, ("JT", "H3")) & (eff == L["JT"])
+    no_break |= isin(prev, ("JL", "JV", "JT", "H2", "H3")) & (eff == L["PO"])
+    no_break |= (prev == L["PR"]) & isin(eff, ("JL", "JV", "JT", "H2", "H3"))
+    # LB28: (AL|HL) x (AL|HL).
+    no_break |= isin(prev, ("AL", "HL")) & isin(eff, ("AL", "HL"))
+    # LB29: IS x (AL|HL).
+    no_break |= (prev == L["IS"]) & isin(eff, ("AL", "HL"))
+    # LB30: (AL|HL|NU) x OP; CP x (AL|HL|NU).
+    no_break |= isin(prev, ("AL", "HL", "NU")) & (eff == L["OP"])
+    no_break |= (prev == L["CP"]) & isin(eff, ("AL", "HL", "NU"))
+    # LB30a: RI x RI (pairs).
+    no_break |= (prev == L["RI"]) & ri & ((ri_run_prev % 2) == 1)
+    # LB30b: EB x EM.
+    no_break |= (prev == L["EB"]) & (eff == L["EM"])
+    # LB20: CB overrides most: break before/after CB (except LB8a/9 above).
+    cb_break = ((eff == L["CB"]) | (prev == L["CB"])) & ~attached & (prev_raw != L["ZWJ"])
+    no_break &= ~cb_break
+
+    breaks = ~no_break
+    # LB4/5: mandatory after BK/CR/LF/NL (overrides everything).
+    breaks |= mandatory_prev
+    # LB8: ZW SP* -> break.
+    breaks |= (before_sp == L["ZW"]) | (prev == L["ZW"])
+    breaks &= valid
+    breaks = breaks.at[0].set(False)  # LB2: no break at sot
+    return breaks, jnp.sum(breaks.astype(jnp.int32), dtype=jnp.int32)
+
+
+def line_break_positions(text: str) -> list[int]:
+    """Host API: codepoint indices where a line break is allowed."""
+    data = np.frombuffer(text.encode(), np.uint8)
+    n = data.shape[0]
+    if n == 0:
+        return []
+    breaks, _ = linebreak_opportunities(jnp.asarray(data), n)
+    cps, count = utf8_decode(jnp.asarray(data), n)
+    return np.flatnonzero(np.asarray(breaks)[: int(count)]).tolist()

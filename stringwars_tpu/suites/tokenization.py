@@ -86,6 +86,22 @@ def main() -> None:
         lambda: (len(regex_mod.findall(r"\X", host_text)), WorkUnits(1, n))[1],
     )
 
+    ctx.group("tokenize-sentences-tr29")
+    sb = jax.jit(SEG.sentence_boundaries, static_argnames=("n",))
+    ctx.run(
+        "tokenize-sentences-tr29/swtpu::sentences<1chip>",
+        "bytes",
+        lambda: (sync(sb(data, n)), WorkUnits(1, n))[1],
+    )
+
+    ctx.group("tokenize-lines-uax14")
+    lb = jax.jit(SEG.linebreak_opportunities, static_argnames=("n",))
+    ctx.run(
+        "tokenize-lines-uax14/swtpu::linebreaks<1chip>",
+        "bytes",
+        lambda: (sync(lb(data, n)), WorkUnits(1, n))[1],
+    )
+
     ctx.group("utf8-length")
     cnt = jax.jit(U8.utf8_count, static_argnames=("n",))
     ctx.run(
