@@ -84,18 +84,32 @@ def _key_words(key: bytes) -> jax.Array:
     return jnp.asarray(np.frombuffer(key, "<u4"))
 
 
-def chacha20_xor(key: bytes, nonce: bytes, data, counter: int = 1) -> jax.Array:
-    """XOR ``data`` with the ChaCha20 keystream (encrypt == decrypt)."""
-    data = jnp.asarray(data, jnp.uint8)
-    n = data.shape[0]
+@functools.partial(jax.jit, static_argnames=("n_blocks",))
+def _xor_keystream_u32(data_u32, key8, nonce3, counter, n_blocks: int):
+    ks = _keystream(key8, nonce3, counter, n_blocks).reshape(-1)
+    return data_u32 ^ ks[: data_u32.shape[0]]
+
+
+def chacha20_xor(key: bytes, nonce: bytes, data, counter: int = 1) -> np.ndarray:
+    """XOR ``data`` with the ChaCha20 keystream (encrypt == decrypt).
+
+    Device compute stays in u32 lanes (byte-wise bitcasts are
+    layout-hostile on TPU); the result is returned as host bytes.
+    """
+    data_np = np.asarray(data, np.uint8)
+    n = data_np.shape[0]
     n_blocks = max((n + 63) // 64, 1)
-    ks_words = _keystream(
-        _key_words(key), jnp.asarray(np.frombuffer(nonce, "<u4")), jnp.uint32(counter), n_blocks
+    padded = np.zeros(n_blocks * 64, np.uint8)
+    padded[:n] = data_np
+    data_u32 = jnp.asarray(padded.view("<u4"))
+    out = _xor_keystream_u32(
+        data_u32,
+        _key_words(key),
+        jnp.asarray(np.frombuffer(nonce, "<u4")),
+        jnp.uint32(counter),
+        n_blocks,
     )
-    ks = jax.lax.bitcast_convert_type(ks_words.reshape(-1, 1), jnp.uint8).reshape(-1)
-    if ks.shape[0] < n:
-        raise ValueError("keystream underflow")
-    return data ^ ks[:n]
+    return np.asarray(out).view(np.uint8)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -225,13 +239,15 @@ def aead_encrypt(key: bytes, nonce: bytes, plaintext, aad: bytes = b"") -> tuple
     if len(key) != 32 or len(nonce) != 12:
         raise ValueError("key must be 32 bytes, nonce 12 bytes")
     pt = np.frombuffer(plaintext, np.uint8) if isinstance(plaintext, (bytes, bytearray)) else np.asarray(plaintext, np.uint8)
-    otk = np.asarray(
-        jax.lax.bitcast_convert_type(
-            _keystream(_key_words(key), jnp.asarray(np.frombuffer(nonce, "<u4")), jnp.uint32(0), 1).reshape(-1, 1),
-            jnp.uint8,
+    otk = (
+        np.asarray(
+            _keystream(
+                _key_words(key), jnp.asarray(np.frombuffer(nonce, "<u4")), jnp.uint32(0), 1
+            )
         )
-    ).reshape(-1)[:32]
-    ct = np.asarray(chacha20_xor(key, nonce, pt, counter=1))
+        .view(np.uint8)[:32]
+    )
+    ct = chacha20_xor(key, nonce, pt, counter=1)
     mac_data = (
         _pad16(aad)
         + _pad16(ct.tobytes())
@@ -245,12 +261,14 @@ def aead_encrypt(key: bytes, nonce: bytes, plaintext, aad: bytes = b"") -> tuple
 def aead_decrypt(key: bytes, nonce: bytes, ciphertext, tag: bytes, aad: bytes = b"") -> np.ndarray:
     """ChaCha20-Poly1305 open: returns plaintext; raises on tag mismatch."""
     ct = np.frombuffer(ciphertext, np.uint8) if isinstance(ciphertext, (bytes, bytearray)) else np.asarray(ciphertext, np.uint8)
-    otk = np.asarray(
-        jax.lax.bitcast_convert_type(
-            _keystream(_key_words(key), jnp.asarray(np.frombuffer(nonce, "<u4")), jnp.uint32(0), 1).reshape(-1, 1),
-            jnp.uint8,
+    otk = (
+        np.asarray(
+            _keystream(
+                _key_words(key), jnp.asarray(np.frombuffer(nonce, "<u4")), jnp.uint32(0), 1
+            )
         )
-    ).reshape(-1)[:32]
+        .view(np.uint8)[:32]
+    )
     mac_data = (
         _pad16(aad)
         + _pad16(ct.tobytes())
@@ -262,4 +280,4 @@ def aead_decrypt(key: bytes, nonce: bytes, ciphertext, tag: bytes, aad: bytes = 
 
     if not hmac.compare_digest(expect, tag):
         raise ValueError("authentication tag mismatch")
-    return np.asarray(chacha20_xor(key, nonce, ct, counter=1))
+    return chacha20_xor(key, nonce, ct, counter=1)

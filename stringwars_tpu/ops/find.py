@@ -100,11 +100,12 @@ def _match_mask(hay: jax.Array, needle: PackedNeedle, n: int) -> jax.Array:
     ``q .. q+cap-1``. ``hay`` must be zero-padded past ``n`` by at least
     4*capacity+4 bytes.
     """
+    from stringwars_tpu.tape import pack_u32
+
     cap = needle.capacity
     w4 = (n + 3) // 4
-    aligned = jax.lax.bitcast_convert_type(
-        hay[: 4 * (w4 + cap)].reshape(w4 + cap, 4), jnp.uint32
-    )  # [W4+cap]
+    w4_total = w4 + cap
+    aligned = pack_u32(hay[: 4 * w4_total])  # [W4+cap] u32, layout-safe
     match = jnp.ones((4, w4), dtype=bool)
     for k in range(cap):
         word = aligned[k : k + w4][None, :]  # [1, W4]
@@ -124,6 +125,7 @@ def _count_from_mask(hay, needle, n):
 
 def _staged(hay, n: int, cap: int):
     pad_to = n + 4 * cap + 8
+    pad_to += -pad_to % 512  # keep the [R, 128, 4] bitcast view exact
     if hay.shape[0] < pad_to:
         hay = jnp.pad(hay, (0, pad_to - hay.shape[0]))
     return hay

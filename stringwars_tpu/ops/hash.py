@@ -109,22 +109,27 @@ class HashLayout:
 
 @jax.jit
 def prepare(tokens: PaddedTokens) -> HashLayout:
-    """Stage the hash layout (one transpose + one gather; amortized at load)."""
-    words = tokens.as_u32()
+    """Stage the hash layout (one transpose + one gather; amortized at load).
+
+    All intermediates keep the batch on the minor (lane) axis — narrow
+    [B, W4] views would be tile-padded to 128 lanes on TPU.
+    """
+    words = tokens.as_u32()  # [B, W4]
+    words_t = words.T  # [W4, B]
     n = tokens.lengths
     tail_word0 = (n // 32) * 8
     idx = jnp.clip(tail_word0[:, None] + jnp.arange(8)[None, :], 0, words.shape[1] - 1)
-    tail = jnp.take_along_axis(words, idx, axis=1)
+    tail_t = jnp.take_along_axis(words, idx, axis=1).T  # [8, B]
     # Zero bytes at and past position n (the tape guarantees zero padding,
     # but staged tails may overlap the next row when W % 32 != 0).
     r = (n % 32).astype(jnp.int32)
-    valid = jnp.clip(r[:, None] - 4 * jnp.arange(8)[None, :], 0, 4)
+    valid = jnp.clip(r[None, :] - 4 * jnp.arange(8)[:, None], 0, 4)
     mask = jnp.where(
         valid >= 4,
         jnp.uint32(0xFFFFFFFF),
         (jnp.uint32(1) << (8 * jnp.minimum(valid, 3)).astype(_U32)) - 1,
     )
-    return HashLayout(words_t=words.T, tail_t=(tail & mask).T, lengths=n)
+    return HashLayout(words_t=words_t, tail_t=tail_t & mask, lengths=n)
 
 
 def _as_layout(tokens) -> HashLayout:
@@ -362,6 +367,8 @@ def tree_hash64(data, n: int | None = None) -> int:
     exactly ``XXH64(data)``, so goldens for small inputs come straight from
     the C library; bigger inputs are covered by a numpy replay of this spec.
     """
+    import numpy as np
+
     data = jnp.asarray(data, dtype=jnp.uint8) if not isinstance(data, jax.Array) else data
     n = int(data.shape[0]) if n is None else n
     while True:
@@ -369,6 +376,9 @@ def tree_hash64(data, n: int | None = None) -> int:
         count = digests.lo.shape[0]
         if count == 1:
             return (int(digests.hi[0]) << 32) | int(digests.lo[0])
-        interleaved = jnp.stack([digests.lo, digests.hi], axis=1).reshape(-1)  # LE u64 tape
-        data = jax.lax.bitcast_convert_type(interleaved, jnp.uint8).reshape(-1)
+        # Digest tape of level k+1 (tiny: count/4096 of the previous level);
+        # round-trip through the host — device byte-interleaving would need
+        # a layout-hostile [N, 2] u32 stack.
+        tape = digests.to_numpy().astype("<u8").tobytes()
+        data = jnp.asarray(np.frombuffer(tape, np.uint8))
         n = int(data.shape[0])

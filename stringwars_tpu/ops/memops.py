@@ -88,8 +88,14 @@ def move(data: jax.Array, shift: int = 8) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def fill_random(seed, n: int) -> jax.Array:
-    """Counter-based random bytes (Threefry): the AES-CTR-keystream analog."""
+def fill_random_words(seed, n: int) -> jax.Array:
+    """Counter-based random u32 words covering n bytes (Threefry)."""
     key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
-    words = jax.random.bits(key, ((n + 3) // 4,), dtype=jnp.uint32)
-    return jax.lax.bitcast_convert_type(words.reshape(-1, 1), jnp.uint8).reshape(-1)[:n]
+    return jax.random.bits(key, ((n + 3) // 4,), dtype=jnp.uint32)
+
+
+def fill_random(seed, n: int) -> np.ndarray:
+    """Counter-based random bytes (the AES-CTR-keystream analog); device
+    generates u32 words, host views them as bytes (byte-wise bitcasts are
+    layout-hostile on TPU)."""
+    return np.asarray(fill_random_words(seed, n)).view(np.uint8)[:n]

@@ -75,6 +75,35 @@ def bench_tpu_hash(ctx: SuiteContext, group: str, fn, fn_name: str) -> None:
         ctx.run(f"{group}/swtpu::{fn_name}{scope.name}", "bytes", routine)
 
 
+def bench_tpu_xxh3(ctx: SuiteContext) -> None:
+    """XXH3-64 (exact) over bucketed layouts — the reference's headline hash."""
+    from stringwars_tpu.ops import xxh3 as X3
+
+    for scope in ctx.scopes:
+        layouts = []
+        elements = 0
+        total_bytes = 0
+        try:
+            for bucket in __import__("stringwars_tpu.tape", fromlist=["bucket_by_length"]).bucket_by_length(
+                ctx.tape, BUCKET_EDGES
+            ):
+                layouts.append(jax.block_until_ready(X3.prepare3(bucket)))
+                elements += bucket.count
+                total_bytes += int(np.asarray(bucket.lengths).sum())
+        except Exception as error:  # noqa: BLE001
+            from stringwars_tpu.utils.report import report_skip
+
+            report_skip(f"stateless/swtpu::xxh3_64{scope.name}", str(error))
+            continue
+        jitted = jax.jit(X3.xxh3_64, static_argnames=("seed",))
+
+        def routine() -> WorkUnits:
+            sync([jitted(layout) for layout in layouts])
+            return WorkUnits(elements=elements, bytes=total_bytes)
+
+        ctx.run(f"stateless/swtpu::xxh3_64{scope.name}", "bytes", routine)
+
+
 def bench_host_hash(ctx: SuiteContext, name: str, hash_fn) -> None:
     tokens = ctx.tape.to_list()
 
@@ -119,6 +148,7 @@ def main() -> None:
     ctx.group("stateless")
     bench_tpu_hash(ctx, "stateless", H.xxh64, "xxh64")
     bench_tpu_hash(ctx, "stateless", H.xxh32, "xxh32")
+    bench_tpu_xxh3(ctx)
     bench_tpu_hash(
         ctx,
         "stateless",

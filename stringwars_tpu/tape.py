@@ -152,6 +152,17 @@ class Tape:
         return Tape.from_spans(d, starts, ends)
 
 
+def pack_u32(data: jax.Array) -> jax.Array:
+    """LE u32 words from a uint8 array (last axis length divisible by 4),
+    via strided slices — the TPU-safe alternative to ``bitcast_convert_type``
+    over a trailing axis of 4 (which tiling would pad to 128 lanes)."""
+    b0 = data[..., 0::4].astype(jnp.uint32)
+    b1 = data[..., 1::4].astype(jnp.uint32)
+    b2 = data[..., 2::4].astype(jnp.uint32)
+    b3 = data[..., 3::4].astype(jnp.uint32)
+    return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
 def token_spans(raw: np.ndarray, mode: str) -> tuple[np.ndarray, np.ndarray]:
     """(starts, ends) spans for tokens of ``raw`` under ``mode`` — pure numpy."""
     n = raw.shape[0]
@@ -217,10 +228,13 @@ class PaddedTokens:
         return self.data.shape[0]
 
     def as_u32(self) -> jax.Array:
-        """Little-endian uint32 view, shape ``[count, width // 4]``."""
-        return jax.lax.bitcast_convert_type(
-            self.data.reshape(self.count, self.width // 4, 4), jnp.uint32
-        ).reshape(self.count, self.width // 4)
+        """Little-endian uint32 view, shape ``[count, width // 4]``.
+
+        Built from four strided byte slices (b0 | b1<<8 | b2<<16 | b3<<24)
+        instead of a bitcast: TPU tiling pads any trailing axis of 4 to 128
+        lanes, so ``[N, 4]``-shaped bitcast views cost 32-128x their size.
+        """
+        return pack_u32(self.data)
 
     @classmethod
     def from_tape(

@@ -46,28 +46,47 @@ def wait_healthy(max_wait_s: float = 1200.0) -> bool:
     return False
 
 
+# Two-pass protocol: pass 1 compiles every program (long compiles degrade
+# the tunneled device to a ~28 ms dispatch floor, poisoning any timing that
+# follows), then one recovery wait, then pass 2 times cache-warm programs.
+_BENCHES: list = []
+
+
 def bench(name, fn, work_bytes, unit="GB/s", elements=None, iters=7):
-    try:
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        compile_s = time.perf_counter() - t0
-        ts = []
-        for _ in range(iters):
+    _BENCHES.append((name, fn, work_bytes, unit, elements, iters))
+
+
+def run_benches():
+    for name, fn, *_ in _BENCHES:
+        try:
             t0 = time.perf_counter()
             jax.block_until_ready(fn())
-            ts.append(time.perf_counter() - t0)
-        sec = sorted(ts)[len(ts) // 2]
-        value = (elements if elements else work_bytes) / sec / 1e9
-        RESULTS[name] = {
-            "value": round(value, 2),
-            "unit": unit,
-            "ms": round(sec * 1e3, 3),
-            "compile_s": round(compile_s, 1),
-        }
-        log(f"{name}: {value:.2f} {unit} ({sec * 1e3:.2f} ms, compile {compile_s:.1f}s)")
-    except Exception as e:  # noqa: BLE001
-        RESULTS[name] = {"error": f"{type(e).__name__}: {e}"}
-        log(f"{name}: FAILED {e}")
+            log(f"compiled {name} in {time.perf_counter() - t0:.1f}s")
+        except Exception as e:  # noqa: BLE001
+            RESULTS[name] = {"error": f"{type(e).__name__}: {e}"}
+            log(f"{name}: COMPILE FAILED {e}")
+    log("compile pass done; waiting for device recovery")
+    wait_healthy()
+    for name, fn, work_bytes, unit, elements, iters in _BENCHES:
+        if name in RESULTS:
+            continue
+        try:
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn())
+                ts.append(time.perf_counter() - t0)
+            sec = sorted(ts)[len(ts) // 2]
+            value = (elements if elements else work_bytes) / sec / 1e9
+            RESULTS[name] = {
+                "value": round(value, 2),
+                "unit": unit,
+                "ms": round(sec * 1e3, 3),
+            }
+            log(f"{name}: {value:.2f} {unit} ({sec * 1e3:.2f} ms)")
+        except Exception as e:  # noqa: BLE001
+            RESULTS[name] = {"error": f"{type(e).__name__}: {e}"}
+            log(f"{name}: FAILED {e}")
 
 
 def main():
@@ -93,11 +112,11 @@ def main():
     bench("bytesum-256MB", lambda: _bytesum_parts(dev_flat, N), N)
 
     # K1 find: staged haystack, 8-byte needle.
-    hay = jax.device_put(np.pad(flat[: 128 << 20], (0, 128)))
     n_find = 128 << 20
     needle = F.pack_needle(b"abcdefgh", 4)
-    bench("find-8B-needle-128MB", lambda: F._count_from_mask(hay, needle, n_find), n_find)
     needle16 = F.pack_needle(b"abcdefghabcdefgh", 16)
+    hay = jax.device_put(np.asarray(F._staged(jnp.asarray(flat[:n_find]), n_find, 16)))
+    bench("find-8B-needle-128MB", lambda: F._count_from_mask(hay, needle, n_find), n_find)
     bench("find-16B-needle-128MB", lambda: F._count_from_mask(hay, needle16, n_find), n_find)
 
     from stringwars_tpu.ops.find import byteset_count, pack_byteset
@@ -173,13 +192,14 @@ def main():
 
     a2 = Automaton([b"the", b"and", b"tion", b"ab"])
     hay_small = flat[: 16 << 20]
-    bench("ac-scan-16MB", lambda: jnp.asarray(ac_count(a2, hay_small)), 16 << 20)
+    bench("ac-scan-16MB", lambda: jnp.asarray(ac_count(a2, hay_small, chunk=1024)), 16 << 20)
 
     # K13 ChaCha corpus encrypt.
     from stringwars_tpu.ops.chacha import chacha20_xor
 
     bench("chacha20-xor-128MB", lambda: chacha20_xor(bytes(range(32)), bytes(12), dev128), 128 << 20)
 
+    run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
 
 
