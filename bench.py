@@ -1,130 +1,75 @@
 #!/usr/bin/env python
 """Headline benchmark for the driver: prints ONE JSON line.
 
-Measures the flagship kernels on the real TPU chip and reports the find
-kernel's GB/s per chip against the reference's best published number
-(sz::find 11.52 GB/s on Sapphire Rapids, BASELINE.md). Falls back to
-byteset -> bytesum if a compile fails. All diagnostics go to stderr;
-stdout carries exactly one JSON line.
+Measures the flagship kernels on the real TPU chip — each in its own
+subprocess (the tunneled device client degrades in-process after heavy
+program loading; a fresh process per kernel measures clean, see
+tools/tpu_campaign.py) — and reports find-kernel GB/s per chip against the
+reference's best published number (sz::find 11.52 GB/s on Sapphire Rapids,
+BASELINE.md), falling back to byteset -> xxh3 -> bytesum.
+Diagnostics to stderr; stdout carries exactly one JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
-import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+KERNELS = [
+    # (campaign bench name, result key, reference baseline GB/s)
+    ("find-8B-needle-128MB", "find_8B", 11.52),
+    ("byteset-128MB", "byteset", 8.34),
+    ("xxh3-1KB-lines-128MB", "xxh3_64", 12.22),
+    ("bytesum-256MB", "bytesum", 12.62),
+]
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def wait_healthy(max_wait_s: float = 900.0) -> None:
-    x = jax.device_put(np.arange(131072, dtype=np.uint32))
-    f = jax.jit(lambda v: v + jnp.uint32(1))
-    deadline = time.time() + max_wait_s
-    while time.time() < deadline:
-        jax.block_until_ready(f(x))
-        samples = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
-            samples.append(time.perf_counter() - t0)
-        ms = sorted(samples)[5] * 1e3
-        if ms < 1.0:
-            log(f"device healthy (dispatch {ms:.2f} ms)")
-            return
-        log(f"device degraded (dispatch {ms:.2f} ms); waiting 60 s")
-        time.sleep(60)
-    log("proceeding despite degraded device")
-
-
-def time_call(fn, iters: int = 7) -> float:
-    jax.block_until_ready(fn())
-    samples = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        samples.append(time.perf_counter() - t0)
-    return sorted(samples)[len(samples) // 2]
+def run_kernel(name: str, timeout_s: float = 1500.0) -> dict | None:
+    campaign = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_campaign.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, campaign, "--only", name],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"{name}: timed out")
+        return None
+    for line in proc.stderr.splitlines()[-4:]:
+        log(f"  {line}")
+    try:
+        results = json.loads(proc.stdout)
+        return results.get(name)
+    except (json.JSONDecodeError, AttributeError):
+        log(f"{name}: no parseable output")
+        return None
 
 
 def main() -> None:
-    from stringwars_tpu.ops import find as F
-    from stringwars_tpu.ops.bytesum import _bytesum_parts, _chunk_shape
-
-    wait_healthy()
-    rng = np.random.default_rng(42)
-    n = 128 << 20
-    flat = rng.integers(97, 123, n, dtype=np.uint8)
-
     results: dict[str, float] = {}
+    for name, key, baseline in KERNELS:
+        out = run_kernel(name)
+        if out and "value" in out:
+            results[key] = (out["value"], baseline)
+            log(f"{key}: {out['value']} GB/s ({out['ms']} ms)")
 
-    # Primary: substring find, 8-byte needle, all-matches over 128 MB.
-    try:
-        hay = jax.device_put(np.pad(flat, (0, 1024)))
-        needle = F.pack_needle(b"abcdefgh", 4)
-        sec = time_call(lambda: F._count_from_mask(hay, needle, n))
-        results["find_8B"] = n / sec / 1e9
-        log(f"find 8B needle: {results['find_8B']:.1f} GB/s")
-    except Exception as e:  # noqa: BLE001
-        log(f"find failed: {e}")
-
-    # Secondary: byteset scan.
-    try:
-        table = F.pack_byteset(b"0123456789")
-        hay2 = jax.device_put(flat)
-        sec = time_call(lambda: F.byteset_count(hay2, table, n))
-        results["byteset"] = n / sec / 1e9
-        log(f"byteset: {results['byteset']:.1f} GB/s")
-    except Exception as e:  # noqa: BLE001
-        log(f"byteset failed: {e}")
-
-    # Hash: xxh64 over 1 KB lines.
-    try:
-        from stringwars_tpu.ops import hash as H
-        from stringwars_tpu.tape import PaddedTokens
-
-        B, W = 131072, 1024
-        toks = PaddedTokens(
-            data=jax.device_put(rng.integers(0, 256, (B, W), dtype=np.uint8)),
-            lengths=jax.device_put(np.full(B, W - 7, np.int32)),
-            width=W,
-        )
-        lay = jax.block_until_ready(H.prepare(toks))
-        fn = jax.jit(H.xxh64)
-        sec = time_call(lambda: fn(lay))
-        results["xxh64_1KB"] = B * W / sec / 1e9
-        log(f"xxh64 1KB lines: {results['xxh64_1KB']:.1f} GB/s")
-    except Exception as e:  # noqa: BLE001
-        log(f"xxh64 failed: {e}")
-
-    # Bytesum (memory roofline calibration).
-    try:
-        rows, chunk = _chunk_shape(n)
-        padded = np.zeros(rows * chunk, np.uint8)
-        padded[:n] = flat
-        dev = jax.device_put(padded)
-        sec = time_call(lambda: _bytesum_parts(dev, n))
-        results["bytesum"] = n / sec / 1e9
-        log(f"bytesum: {results['bytesum']:.1f} GB/s")
-    except Exception as e:  # noqa: BLE001
-        log(f"bytesum failed: {e}")
-
-    # Headline: find vs sz::find 11.52 GB/s; fall back down the chain.
-    for key, baseline in (("find_8B", 11.52), ("byteset", 8.34), ("xxh64_1KB", 12.22), ("bytesum", 12.62)):
+    for _, key, baseline in KERNELS:
         if key in results:
+            value, baseline = results[key]
             print(
                 json.dumps(
                     {
                         "metric": f"{key}_throughput",
-                        "value": round(results[key], 2),
+                        "value": round(value, 2),
                         "unit": "GB/s",
-                        "vs_baseline": round(results[key] / baseline, 2),
+                        "vs_baseline": round(value / baseline, 2),
                     }
                 ),
                 flush=True,

@@ -293,3 +293,76 @@ def nw_ref(a, b, match=2, mismatch=-1, go=-2, ge=-2) -> int:
 
 def sw_ref(a, b, match=2, mismatch=-1, go=-2, ge=-2) -> int:
     return _gotoh_ref(a, b, match, mismatch, go, ge, local=True)
+
+
+# ---------------------------------------------------------------------------
+# Banded Levenshtein (SWTPU_ERROR_BOUND) and codepoint-level variant
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def levenshtein_banded(pairs: PairBatch, band: int) -> jax.Array:
+    """Levenshtein distance clamped to a diagonal band of half-width ``band``
+    (the reference's ``STRINGWARS_ERROR_BOUND``; distances that would exceed
+    the bound are reported as >= band + |len_a - len_b| saturation).
+
+    The DP walks the same anti-diagonal scan but only 2*band + 1 cells per
+    diagonal are live — cells outside the band read BIG and die. For
+    band << L this cuts work from L^2 to (2*band+1)*L cells per pair.
+    """
+    ap, brp, i_idx, L = _diag_frames(pairs)
+    a_len = pairs.a_len[:, None]
+    b_len = pairs.b_len[:, None]
+
+    d1 = jnp.concatenate(
+        [jnp.minimum(1, b_len), jnp.minimum(1, a_len)], axis=1
+    ).astype(jnp.int32)
+    prev = jnp.pad(d1, ((0, 0), (0, L - 1)))
+    prev2 = jnp.zeros((pairs.a.shape[0], L + 1), jnp.int32)
+
+    def step(carry, d):
+        prev, prev2 = carry
+        w = _b_window(brp, d, L)
+        j_idx = d - i_idx
+        in_range = (i_idx >= 1) & (i_idx <= a_len) & (j_idx >= 1) & (j_idx <= b_len)
+        in_band = jnp.abs(i_idx - j_idx) <= band
+        sub = jnp.where(in_range & in_band, (ap != w).astype(jnp.int32), _BIG)
+        del_cost = jnp.where((i_idx <= a_len) & in_band, 1, _BIG)
+        ins_cost = jnp.where((j_idx <= b_len) & in_band, 1, _BIG)
+        prev_shift = jnp.pad(prev[:, :-1], ((0, 0), (1, 0)), constant_values=1 << 19)
+        prev2_shift = jnp.pad(prev2[:, :-1], ((0, 0), (1, 0)), constant_values=1 << 19)
+        cur = jnp.minimum(
+            jnp.minimum(prev + ins_cost, prev_shift + del_cost), prev2_shift + sub
+        )
+        cur = jnp.where(i_idx == 0, jnp.minimum(d, b_len), cur)
+        cur = jnp.where(i_idx == d, jnp.minimum(d, a_len), cur)
+        # Out-of-range frozen propagation (same zones as the full kernel).
+        cur = jnp.where(i_idx > a_len, jnp.minimum(cur, prev_shift), cur)
+        cur = jnp.where((j_idx > b_len) & (i_idx <= a_len), jnp.minimum(cur, prev), cur)
+        return (cur, prev), None
+
+    (last, _), _ = jax.lax.scan(step, (prev, prev2), jnp.arange(2, 2 * L + 1))
+    return jnp.minimum(last[:, L], _BIG)
+
+
+def pack_pairs_utf8(a_tokens: list[bytes], b_tokens: list[bytes], width: int | None = None) -> PairBatch:
+    """Codepoint-level pairs: the ``LevenshteinDistancesUtf8`` analog
+    (distances over decoded codepoints; CUPS counts codepoint cells,
+    reference ``similarities/bench.rs:230-247``)."""
+    from stringwars_tpu.ops.utf8 import decode_codepoints
+
+    a_cps = [decode_codepoints(t) for t in a_tokens]
+    b_cps = [decode_codepoints(t) for t in b_tokens]
+    L = width or max(
+        (max((len(c) for c in a_cps), default=1), max((len(c) for c in b_cps), default=1))
+    )
+    L = max(L, 1)
+    B = len(a_cps)
+    a = np.zeros((B, L), dtype=np.int32)
+    b = np.zeros((B, L), dtype=np.int32)
+    a_len = np.zeros(B, dtype=np.int32)
+    b_len = np.zeros(B, dtype=np.int32)
+    for i, (x, y) in enumerate(zip(a_cps, b_cps)):
+        a[i, : len(x)] = x
+        b[i, : len(y)] = y
+        a_len[i], b_len[i] = len(x), len(y)
+    return PairBatch(jnp.asarray(a), jnp.asarray(b), jnp.asarray(a_len), jnp.asarray(b_len))

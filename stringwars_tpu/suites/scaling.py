@@ -1,0 +1,108 @@
+"""Scaling suite: multi-chip data-parallel rows (<1chip> vs <Nchip>).
+
+The reference's scope sweep is 1cpu/Ncpu/1gpu per variant; this suite is
+the TPU build's replacement: the flagship sharded pipeline (halo find +
+hash + fingerprint + LUT, ``parallel/pipeline.py``) measured per scope with
+scaling efficiency printed to stderr (BASELINE.json target: >= 80 % linear
+bytes/s from 1 chip up).
+
+On a single-chip machine the <Nchip> rows collapse to <1chip>; run under
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORM_NAME=cpu``
+to exercise the 8-way sharded path.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from stringwars_tpu.parallel.pipeline import demo_inputs, make_sharded_step
+from stringwars_tpu.suites._common import setup_suite
+from stringwars_tpu.utils.harness import WorkUnits, sync
+
+
+def build_inputs(mesh: Mesh, tape, tokens_per_chip: int, hay_bytes_per_chip: int):
+    """Shard the real corpus across the mesh (tokens + haystack rows)."""
+    from stringwars_tpu.ops import find as F
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_chips = mesh.devices.size
+    needle = b"th"
+    packed = F.pack_needle(needle, capacity_words=4)
+    row_len = hay_bytes_per_chip + 4 * packed.capacity + 8
+    corpus = np.asarray(tape.data)[: tape.total_bytes]
+    need = n_chips * row_len
+    reps = max(need // max(corpus.shape[0], 1) + 1, 1)
+    big = np.tile(corpus, reps)[:need]
+    hay = big.reshape(n_chips, row_len)
+
+    token_list = [t[:64] for t in tape.to_list()[: n_chips * tokens_per_chip] if t]
+    while len(token_list) < n_chips * tokens_per_chip:
+        token_list.append(b"pad")
+    tokens = np.zeros((n_chips * tokens_per_chip, 64), np.uint8)
+    lengths = np.zeros(n_chips * tokens_per_chip, np.int32)
+    for i, t in enumerate(token_list):
+        tokens[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lengths[i] = len(t)
+    lut = np.arange(256, dtype=np.uint8)[::-1].copy()
+
+    shard2 = NamedSharding(mesh, P("shard", None))
+    shard1 = NamedSharding(mesh, P("shard"))
+    repl = NamedSharding(mesh, P())
+    total_bytes = n_chips * hay_bytes_per_chip + int(lengths.sum())
+    return (
+        jax.device_put(hay, shard2),
+        jax.device_put(tokens, shard2),
+        jax.device_put(lengths, shard1),
+        jax.device_put(np.asarray(packed.words), repl),
+        jax.device_put(np.asarray(packed.masks), repl),
+        jax.device_put(np.asarray(packed.length), repl),
+        jax.device_put(lut, repl),
+    ), total_bytes
+
+
+def main() -> None:
+    ctx = setup_suite(
+        "Multi-chip scaling of the flagship sharded pipeline",
+        default_tokens="words",
+        default_warmup=2.0,
+        default_time=10.0,
+    )
+    ctx.group("pipeline")
+    rates = {}
+    for scope in ctx.scopes:
+        mesh = scope.mesh
+        step = make_sharded_step(mesh)
+        inputs, total_bytes = build_inputs(
+            mesh, ctx.tape, tokens_per_chip=4096, hay_bytes_per_chip=4 << 20
+        )
+
+        def routine() -> WorkUnits:
+            sync(step(*inputs))
+            return WorkUnits(elements=1, bytes=total_bytes)
+
+        name = f"pipeline/swtpu::sharded_step{scope.name}"
+        from stringwars_tpu.utils.harness import measure_throughput
+        from stringwars_tpu.utils.config import should_run
+
+        if not should_run(name, ctx.pattern):
+            continue
+        stats = measure_throughput(routine, ctx.budget)
+        stats.report(name, "bytes")
+        rates[scope.chips] = stats.bytes_per_second
+
+    if len(rates) > 1:
+        base = rates[min(rates)]
+        for chips, rate in sorted(rates.items()):
+            eff = rate / (base * chips / min(rates))
+            print(
+                f"scaling {chips} chip(s): {rate / 1e9:.2f} GB/s, efficiency {100 * eff:.1f}%",
+                file=sys.stderr,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,52 @@ def test_mixed_length_extremes(rng):
 def test_dp_cells_accounting():
     batch = pack_pairs([b"abc", b"x"], [b"de", b"yyyy"])
     assert batch.dp_cells() == 3 * 2 + 1 * 4
+
+
+def test_levenshtein_banded(rng):
+    from stringwars_tpu.ops.similarity import levenshtein_banded
+
+    pairs = random_pairs(rng, 24, 30)
+    a, b = zip(*pairs)
+    batch = pack_pairs(list(a), list(b))
+    full = [levenshtein_ref(x, y) for x, y in pairs]
+    got = np.asarray(levenshtein_banded(batch, band=64))
+    # Band wider than any distance: exact.
+    np.testing.assert_array_equal(got, full)
+    # Narrow band: exact wherever the true distance fits in the band.
+    narrow = np.asarray(levenshtein_banded(batch, band=4))
+    for g, f in zip(narrow, full):
+        if f <= 4:
+            assert g == f
+        else:
+            assert g >= f or g >= 4
+
+
+def test_levenshtein_utf8(rng):
+    from stringwars_tpu.ops.similarity import pack_pairs_utf8
+
+    pairs = [
+        ("héllo".encode(), "hello".encode()),
+        ("普通话".encode(), "普通".encode()),
+        ("ßs".encode(), b"ss"),
+        (b"", "é".encode()),
+    ]
+    a, b = zip(*pairs)
+    batch = pack_pairs_utf8(list(a), list(b))
+    got = np.asarray(levenshtein(batch))
+    want = [
+        levenshtein_ref(x.decode().encode("utf-32-le"), y.decode().encode("utf-32-le")) // 1
+        for x, y in pairs
+    ]
+    # Codepoint-level ground truth via python lists:
+    def ref_cp(x, y):
+        xs, ys = [ord(c) for c in x.decode()], [ord(c) for c in y.decode()]
+        prev = list(range(len(ys) + 1))
+        for i in range(1, len(xs) + 1):
+            cur = [i] + [0] * len(ys)
+            for j in range(1, len(ys) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (xs[i - 1] != ys[j - 1]))
+            prev = cur
+        return prev[len(ys)]
+
+    np.testing.assert_array_equal(got, [ref_cp(x, y) for x, y in pairs])

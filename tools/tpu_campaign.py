@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Measure every kernel family on the real TPU chip; JSON results to stdout.
+"""Measure kernel families on the real TPU chip; JSON results to stdout.
 
-Waits for device health first (a killed client degrades the tunnel), then
-benches each kernel with synchronized medians. Never kill this mid-compile:
-run it to completion or not at all.
+Protocol learned the hard way: the tunneled device client degrades to a
+~28 ms dispatch floor within a process after heavy compile/load activity
+and never recovers in-process (a fresh process is instantly healthy). So:
+  1. every bench's setup (device_put, layout prepare, compiles) is LAZY;
+  2. measure one kernel per process: ``--only <name>``;
+  3. populate the persistent compile cache first with ``--compile-only``.
 """
 
 from __future__ import annotations
@@ -20,17 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 RESULTS: dict[str, dict] = {}
+_BENCHES: list = []
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def wait_healthy(max_wait_s: float = 1200.0) -> bool:
+def wait_healthy(max_wait_s: float = 240.0) -> bool:
     x = jax.device_put(np.arange(131072, dtype=np.uint32))
     f = jax.jit(lambda v: v + jnp.uint32(1))
     deadline = time.time() + max_wait_s
-    while time.time() < deadline:
+    while True:
         jax.block_until_ready(f(x))
         samples = []
         for _ in range(10):
@@ -41,36 +45,32 @@ def wait_healthy(max_wait_s: float = 1200.0) -> bool:
         if ms < 1.0:
             log(f"device healthy (dispatch {ms:.2f} ms)")
             return True
+        if time.time() >= deadline:
+            log(f"device still degraded (dispatch {ms:.2f} ms); proceeding")
+            return False
         log(f"device degraded (dispatch {ms:.2f} ms); waiting 60s...")
         time.sleep(60)
-    return False
 
 
-# Two-pass protocol: pass 1 compiles every program (long compiles degrade
-# the tunneled device to a ~28 ms dispatch floor, poisoning any timing that
-# follows), then one recovery wait, then pass 2 times cache-warm programs.
-_BENCHES: list = []
-
-
-def bench(name, fn, work_bytes, unit="GB/s", elements=None, iters=7):
-    _BENCHES.append((name, fn, work_bytes, unit, elements, iters))
+def bench(name, make, work_bytes, unit="GB/s", elements=None, iters=7):
+    """Register a lazy bench: ``make()`` -> zero-arg measured fn."""
+    _BENCHES.append((name, make, work_bytes, unit, elements, iters))
 
 
 def run_benches():
-    for name, fn, *_ in _BENCHES:
+    compile_only = "--compile-only" in sys.argv
+    selected = _BENCHES
+    if "--only" in sys.argv:
+        want = sys.argv[sys.argv.index("--only") + 1]
+        selected = [b for b in _BENCHES if want in b[0]]
+    for name, make, work_bytes, unit, elements, iters in selected:
         try:
             t0 = time.perf_counter()
+            fn = make()
             jax.block_until_ready(fn())
-            log(f"compiled {name} in {time.perf_counter() - t0:.1f}s")
-        except Exception as e:  # noqa: BLE001
-            RESULTS[name] = {"error": f"{type(e).__name__}: {e}"}
-            log(f"{name}: COMPILE FAILED {e}")
-    log("compile pass done; waiting for device recovery")
-    wait_healthy()
-    for name, fn, work_bytes, unit, elements, iters in _BENCHES:
-        if name in RESULTS:
-            continue
-        try:
+            log(f"setup+compile {name} in {time.perf_counter() - t0:.1f}s")
+            if compile_only:
+                continue
             ts = []
             for _ in range(iters):
                 t0 = time.perf_counter()
@@ -78,126 +78,210 @@ def run_benches():
                 ts.append(time.perf_counter() - t0)
             sec = sorted(ts)[len(ts) // 2]
             value = (elements if elements else work_bytes) / sec / 1e9
-            RESULTS[name] = {
-                "value": round(value, 2),
-                "unit": unit,
-                "ms": round(sec * 1e3, 3),
-            }
+            RESULTS[name] = {"value": round(value, 2), "unit": unit, "ms": round(sec * 1e3, 3)}
             log(f"{name}: {value:.2f} {unit} ({sec * 1e3:.2f} ms)")
         except Exception as e:  # noqa: BLE001
             RESULTS[name] = {"error": f"{type(e).__name__}: {e}"}
             log(f"{name}: FAILED {e}")
 
 
-def main():
-    if not wait_healthy():
-        print(json.dumps({"error": "device never became healthy"}))
-        return
-    rng = np.random.default_rng(0)
+def _flat(n, seed=0):
+    return np.random.default_rng(seed).integers(97, 123, n, dtype=np.uint8)
 
-    from stringwars_tpu.ops.bytesum import _bytesum_parts, _chunk_shape
-    from stringwars_tpu.ops import find as F
+
+def _lines_layout(B=131072, W=1024):
     from stringwars_tpu.ops import hash as H
-    from stringwars_tpu.ops import similarity as S
-    from stringwars_tpu.ops.fingerprint import fingerprint
-    from stringwars_tpu.ops.memops import fill_random, lut_translate, invert_case_lut
     from stringwars_tpu.tape import PaddedTokens
 
-    N = 256 << 20
-    flat = rng.integers(97, 123, N, dtype=np.uint8)
-    rows, chunk = _chunk_shape(N)
-    padded = np.zeros(rows * chunk, np.uint8)
-    padded[:N] = flat
-    dev_flat = jax.device_put(padded)
-    bench("bytesum-256MB", lambda: _bytesum_parts(dev_flat, N), N)
-
-    # K1 find: staged haystack, 8-byte needle.
-    n_find = 128 << 20
-    needle = F.pack_needle(b"abcdefgh", 4)
-    needle16 = F.pack_needle(b"abcdefghabcdefgh", 16)
-    hay = jax.device_put(np.asarray(F._staged(jnp.asarray(flat[:n_find]), n_find, 16)))
-    bench("find-8B-needle-128MB", lambda: F._count_from_mask(hay, needle, n_find), n_find)
-    bench("find-16B-needle-128MB", lambda: F._count_from_mask(hay, needle16, n_find), n_find)
-
-    from stringwars_tpu.ops.find import byteset_count, pack_byteset
-
-    table = pack_byteset(b"0123456789")
-    bench("byteset-128MB", lambda: byteset_count(hay, table, n_find), n_find)
-
-    # K3 hash: long lines.
-    B, W = 131072, 1024
-    data = rng.integers(0, 256, (B, W), dtype=np.uint8)
+    rng = np.random.default_rng(0)
     toks = PaddedTokens(
-        data=jax.device_put(data),
+        data=jax.device_put(rng.integers(0, 256, (B, W), dtype=np.uint8)),
         lengths=jax.device_put(np.full(B, W - 7, np.int32)),
         width=W,
     )
-    lay = jax.block_until_ready(H.prepare(toks))
-    xxh64_j = jax.jit(H.xxh64)
-    bench("xxh64-1KB-lines-128MB", lambda: xxh64_j(lay), B * W)
-    xxh32_j = jax.jit(H.xxh32)
-    bench("xxh32-1KB-lines-128MB", lambda: xxh32_j(lay), B * W)
+    return jax.block_until_ready(H.prepare(toks)), B * W
 
-    Bw, Ww = 2_000_000, 64
-    dataw = rng.integers(0, 256, (Bw, Ww), dtype=np.uint8)
-    toksw = PaddedTokens(
-        data=jax.device_put(dataw),
-        lengths=jax.device_put(rng.integers(1, 16, Bw, dtype=np.int32)),
-        width=Ww,
-    )
-    layw = jax.block_until_ready(H.prepare(toksw))
-    bench("xxh64-words-128MB", lambda: xxh64_j(layw), Bw * Ww)
 
-    seeds16 = np.arange(16, dtype=np.uint64)
-    multi_j = jax.jit(lambda l: H.xxh64_multiseed(l, seeds16))
-    bench("xxh64-multiseed16-1KB", lambda: multi_j(lay), B * W)
+def main():
+    wait_healthy()
 
-    # K5 Levenshtein: 1024 pairs of 256B.
-    L = 256
-    Bp = 1024
-    a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
-    b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
-    pairs = S.PairBatch(
-        a=jax.device_put(a),
-        b=jax.device_put(b),
-        a_len=jax.device_put(np.full(Bp, L, np.int32)),
-        b_len=jax.device_put(np.full(Bp, L, np.int32)),
-    )
-    cells = Bp * L * L
-    lev_j = jax.jit(S.levenshtein)
-    bench("levenshtein-1024x256B", lambda: lev_j(pairs), cells, unit="GCUPS", elements=cells)
-    nw_j = jax.jit(S.nw_score_affine)
-    bench("nw-affine-1024x256B", lambda: nw_j(pairs), cells, unit="GCUPS", elements=cells)
+    def mk_bytesum():
+        from stringwars_tpu.ops.bytesum import _bytesum_parts, _chunk_shape
 
-    # K6 fingerprints: 512-dim over 16K 1KB-docs.
-    fp_j = jax.jit(lambda t: fingerprint(t, ndim=512, with_counts=False))
-    docsB = 16384
-    docs = PaddedTokens(
-        data=jax.device_put(data[:docsB]),
-        lengths=jax.device_put(np.full(docsB, W - 7, np.int32)),
-        width=W,
-    )
-    bench("fingerprint-512d-16MB", lambda: fp_j(docs), docsB * W)
+        N = 256 << 20
+        rows, chunk = _chunk_shape(N)
+        padded = np.zeros(rows * chunk, np.uint8)
+        padded[:N] = _flat(N)
+        dev = jax.device_put(padded)
+        return lambda: _bytesum_parts(dev, N)
 
-    # K12: LUT + PRNG.
-    lut = jnp.asarray(invert_case_lut())
-    lut_j = jax.jit(lut_translate)
-    dev128 = jax.device_put(flat[: 128 << 20])
-    bench("lut-translate-128MB", lambda: lut_j(dev128, lut), 128 << 20)
-    fr_j = jax.jit(fill_random, static_argnames=("n",))
-    bench("fill-random-128MB", lambda: fr_j(7, 128 << 20), 128 << 20)
+    bench("bytesum-256MB", mk_bytesum, 256 << 20)
 
-    # K2 AC scan.
-    from stringwars_tpu.ops.ahocorasick import Automaton, ac_count
+    def mk_find(nbytes, cap):
+        from stringwars_tpu.ops import find as F
 
-    a2 = Automaton([b"the", b"and", b"tion", b"ab"])
-    hay_small = flat[: 16 << 20]
-    bench("ac-scan-16MB", lambda: jnp.asarray(ac_count(a2, hay_small, chunk=1024)), 16 << 20)
+        n = 128 << 20
+        needle = F.pack_needle(b"abcdefghabcdefgh"[:nbytes], cap)
+        hay = jax.device_put(np.asarray(F._staged(jnp.asarray(_flat(n)), n, cap)))
+        return lambda: F._count_from_mask(hay, needle, n)
 
-    # K13 ChaCha corpus encrypt.
-    from stringwars_tpu.ops.chacha import chacha20_xor
+    bench("find-8B-needle-128MB", lambda: mk_find(8, 4), 128 << 20)
+    bench("find-16B-needle-128MB", lambda: mk_find(16, 16), 128 << 20)
 
-    bench("chacha20-xor-128MB", lambda: chacha20_xor(bytes(range(32)), bytes(12), dev128), 128 << 20)
+    def mk_byteset():
+        from stringwars_tpu.ops.find import byteset_count, pack_byteset
+
+        n = 128 << 20
+        hay = jax.device_put(_flat(n))
+        table = pack_byteset(b"0123456789")
+        return lambda: byteset_count(hay, table, n)
+
+    bench("byteset-128MB", mk_byteset, 128 << 20)
+
+    def mk_xxh64():
+        from stringwars_tpu.ops import hash as H
+
+        lay, _ = _lines_layout()
+        f = jax.jit(H.xxh64)
+        return lambda: f(lay)
+
+    bench("xxh64-1KB-lines-128MB", mk_xxh64, 131072 * 1024)
+
+    def mk_xxh32():
+        from stringwars_tpu.ops import hash as H
+
+        lay, _ = _lines_layout()
+        f = jax.jit(H.xxh32)
+        return lambda: f(lay)
+
+    bench("xxh32-1KB-lines-128MB", mk_xxh32, 131072 * 1024)
+
+    def mk_xxh3():
+        from stringwars_tpu.ops import xxh3 as X3
+        from stringwars_tpu.tape import PaddedTokens
+
+        rng = np.random.default_rng(0)
+        B, W = 131072, 1024
+        toks = PaddedTokens(
+            data=jax.device_put(rng.integers(0, 256, (B, W), dtype=np.uint8)),
+            lengths=jax.device_put(np.full(B, W - 7, np.int32)),
+            width=W,
+        )
+        lay = jax.block_until_ready(X3.prepare3(toks))
+        f = jax.jit(X3.xxh3_64, static_argnames=("seed",))
+        return lambda: f(lay)
+
+    bench("xxh3-1KB-lines-128MB", mk_xxh3, 131072 * 1024)
+
+    def mk_words():
+        from stringwars_tpu.ops import hash as H
+        from stringwars_tpu.tape import PaddedTokens
+
+        rng = np.random.default_rng(0)
+        Bw, Ww = 2_000_000, 64
+        toks = PaddedTokens(
+            data=jax.device_put(rng.integers(0, 256, (Bw, Ww), dtype=np.uint8)),
+            lengths=jax.device_put(rng.integers(1, 16, Bw, dtype=np.int32)),
+            width=Ww,
+        )
+        lay = jax.block_until_ready(H.prepare(toks))
+        f = jax.jit(H.xxh64)
+        return lambda: f(lay)
+
+    bench("xxh64-words-128MB", mk_words, 2_000_000 * 64)
+
+    def mk_multiseed():
+        from stringwars_tpu.ops import hash as H
+
+        lay, _ = _lines_layout()
+        seeds16 = np.arange(16, dtype=np.uint64)
+        f = jax.jit(lambda l: H.xxh64_multiseed(l, seeds16))
+        return lambda: f(lay)
+
+    bench("xxh64-multiseed16-1KB", mk_multiseed, 131072 * 1024)
+
+    def mk_lev(affine, Bp=8192, L=256):
+        def make():
+            from stringwars_tpu.ops import similarity as S
+
+            rng = np.random.default_rng(0)
+            pairs = S.PairBatch(
+                a=jax.device_put(rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)),
+                b=jax.device_put(rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)),
+                a_len=jax.device_put(np.full(Bp, L, np.int32)),
+                b_len=jax.device_put(np.full(Bp, L, np.int32)),
+            )
+            f = jax.jit(S.nw_score_affine if affine else S.levenshtein)
+            return lambda: f(pairs)
+
+        return make
+
+    cells = 8192 * 256 * 256
+    bench("levenshtein-8192x256B", mk_lev(False), cells, unit="GCUPS", elements=cells)
+    bench("nw-affine-8192x256B", mk_lev(True), cells, unit="GCUPS", elements=cells)
+
+    def mk_fp():
+        from stringwars_tpu.ops.fingerprint import fingerprint
+        from stringwars_tpu.tape import PaddedTokens
+
+        rng = np.random.default_rng(0)
+        docsB, W = 16384, 1024
+        docs = PaddedTokens(
+            data=jax.device_put(rng.integers(0, 256, (docsB, W), dtype=np.uint8)),
+            lengths=jax.device_put(np.full(docsB, W - 7, np.int32)),
+            width=W,
+        )
+        f = jax.jit(lambda t: fingerprint(t, ndim=512, with_counts=False))
+        return lambda: f(docs)
+
+    bench("fingerprint-512d-16MB", mk_fp, 16384 * 1024)
+
+    def mk_lut():
+        from stringwars_tpu.ops.memops import lut_translate, invert_case_lut
+
+        lut = jnp.asarray(invert_case_lut())
+        dev = jax.device_put(_flat(128 << 20))
+        f = jax.jit(lut_translate)
+        return lambda: f(dev, lut)
+
+    bench("lut-translate-128MB", mk_lut, 128 << 20)
+
+    def mk_lut_planes():
+        from stringwars_tpu.ops.memops import lut_translate_planes, invert_case_lut
+
+        lut = jnp.asarray(invert_case_lut())
+        dev = jax.device_put(_flat(128 << 20))
+        f = jax.jit(lut_translate_planes)
+        return lambda: f(dev, lut)
+
+    bench("lut-planes-128MB", mk_lut_planes, 128 << 20)
+
+    def mk_rand():
+        from stringwars_tpu.ops.memops import fill_random_words
+
+        return lambda: fill_random_words(7, 128 << 20)
+
+    bench("fill-random-128MB", mk_rand, 128 << 20)
+
+    def mk_ac():
+        from stringwars_tpu.ops.ahocorasick import Automaton, ac_count
+
+        a2 = Automaton([b"the", b"and", b"tion", b"ab"])
+        hay_small = _flat(16 << 20)
+        return lambda: jnp.asarray(ac_count(a2, hay_small, chunk=1024))
+
+    bench("ac-scan-16MB", mk_ac, 16 << 20)
+
+    def mk_chacha():
+        from stringwars_tpu.ops.chacha import _xor_keystream_u32, _key_words
+
+        n = 128 << 20
+        data_u32 = jax.device_put(_flat(n).view("<u4"))
+        key8 = _key_words(bytes(range(32)))
+        nonce3 = jnp.asarray(np.frombuffer(bytes(12), "<u4"))
+        return lambda: _xor_keystream_u32(data_u32, key8, nonce3, jnp.uint32(1), n // 64)
+
+    bench("chacha20-xor-128MB", mk_chacha, 128 << 20)
 
     run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
