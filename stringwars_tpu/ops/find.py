@@ -93,28 +93,26 @@ def pack_needle(needle: bytes, capacity_words: int | None = None) -> PackedNeedl
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _match_mask(hay: jax.Array, needle: PackedNeedle, n: int) -> jax.Array:
-    """bool[4, W4]: window at byte p = 4q + o matches, for p ≤ n - m.
+    """bool[n]: window starting at byte p matches, for p ≤ n - m.
 
-    A window starting inside aligned word ``q`` (at intra-word offset ``o``)
-    is compared against the o-shifted needle image over the aligned words
-    ``q .. q+cap-1``. ``hay`` must be zero-padded past ``n`` by at least
-    4*capacity+4 bytes.
+    Shifted *contiguous* byte compares: position-j of the needle tests
+    ``hay[p + j] == needle[j]`` via the offset slice ``hay[j : j + n]`` —
+    each comparison streams the haystack once on dense u8 lanes (offset
+    slices are layout-clean on TPU; strided/packed u32 views are not).
+    The needle bytes/mask come from the offset-0 image of the packed
+    needle, so needles stay dynamic (no recompile when cycling).
     """
-    from stringwars_tpu.tape import pack_u32
-
     cap = needle.capacity
-    w4 = (n + 3) // 4
-    w4_total = w4 + cap
-    aligned = pack_u32(hay[: 4 * w4_total])  # [W4+cap] u32, layout-safe
-    match = jnp.ones((4, w4), dtype=bool)
-    for k in range(cap):
-        word = aligned[k : k + w4][None, :]  # [1, W4]
-        ok = (word & needle.masks[:, k, None]) == needle.words[:, k, None]
-        match &= ok
-    # Valid window starts: p = 4q + o ≤ n - m.
+    # Needle byte j lives in words[0, j // 4] at bit 8*(j % 4).
+    match = jnp.ones((n,), dtype=bool)
     m = needle.length
-    q = jnp.arange(w4, dtype=jnp.int32)[None, :]
-    p = jnp.arange(4, dtype=jnp.int32)[:, None] + 4 * q
+    for j in range(4 * cap - 3):
+        word = needle.words[0, j // 4]
+        mask_b = (needle.masks[0, j // 4] >> (8 * (j % 4))) & jnp.uint32(0xFF)
+        nb = ((word >> (8 * (j % 4))) & jnp.uint32(0xFF)).astype(jnp.uint8)
+        ok = (hay[j : j + n] == nb) | (mask_b == 0)
+        match &= ok
+    p = jnp.arange(n, dtype=jnp.int32)
     return match & (p <= (n - m))
 
 
@@ -143,8 +141,7 @@ def find_positions(hay, needle: PackedNeedle, n: int | None = None) -> np.ndarra
     hay = jnp.asarray(hay, dtype=jnp.uint8)
     n = int(hay.shape[0]) if n is None else n
     mask = np.asarray(_match_mask(_staged(hay, n, needle.capacity), needle, n))
-    o, q = np.nonzero(mask)
-    return np.sort(o + 4 * q)
+    return np.flatnonzero(mask)
 
 
 # ---------------------------------------------------------------------------

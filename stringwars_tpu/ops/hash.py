@@ -282,6 +282,16 @@ def xxh64(tokens: PaddedTokens | HashLayout, seed: int | U64 = 0) -> U64:
         bcast(w.sub(seed, U64.const(_P64_1))),
     )
     accs = _run_stripes(layout.words_t, n_stripes, init, 8, round_fn)
+    return _xxh64_epilogue(accs, layout, seed, shape)
+
+
+def _xxh64_epilogue(accs, layout: HashLayout, seed: U64, shape) -> U64:
+    """Merge + tail + avalanche, shared by the jnp scan and Pallas paths."""
+    n = layout.lengths.astype(_U32)
+
+    def bcast(v: U64) -> U64:
+        return U64(jnp.broadcast_to(v.hi, shape), jnp.broadcast_to(v.lo, shape))
+
     h_long = w.add_many(
         w.rotl(accs[0], 1), w.rotl(accs[1], 7), w.rotl(accs[2], 12), w.rotl(accs[3], 18)
     )
@@ -382,3 +392,34 @@ def tree_hash64(data, n: int | None = None) -> int:
         tape = digests.to_numpy().astype("<u8").tobytes()
         data = jnp.asarray(np.frombuffer(tape, np.uint8))
         n = int(data.shape[0])
+
+
+def xxh64_pallas(tokens: PaddedTokens | HashLayout, seed: int = 0, *, interpret: bool | None = None) -> U64:
+    """XXH64 via the Pallas stripe kernel (TPU fast path; bit-exact).
+
+    Falls back to interpret mode off-TPU. Scalar seed only (multiseed
+    broadcasting stays on the jnp path).
+    """
+    from stringwars_tpu.ops.hash_pallas import B_TILE, xxh64_stripes
+
+    layout = _as_layout(tokens)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w4, batch = layout.words_t.shape
+    pad_b = (-batch) % B_TILE
+    pad_w = (-w4) % 8
+    words_t = layout.words_t
+    lengths = layout.lengths
+    if pad_w:
+        words_t = jnp.pad(words_t, ((0, pad_w), (0, 0)))
+    if pad_b:
+        words_t = jnp.pad(words_t, ((0, 0), (0, pad_b)))
+        lengths = jnp.pad(lengths, (0, pad_b))
+    seed_pair = jnp.asarray(
+        [(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF], dtype=jnp.uint32
+    )
+    out = xxh64_stripes(words_t, (lengths // 32) * 1, seed_pair, interpret=interpret)
+    out = out[:, :batch]
+    accs = tuple(U64(hi=out[2 * i], lo=out[2 * i + 1]) for i in range(4))
+    seed_u = U64.const(seed)
+    return _xxh64_epilogue(accs, layout, seed_u, layout.lengths.shape)

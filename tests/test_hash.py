@@ -105,3 +105,17 @@ def test_tree_hash_spec_replay():
             buf = b"".join(int(d).to_bytes(8, "little") for d in digests)
 
     assert tree_hash64(np.frombuffer(data, np.uint8)) == replay(data)
+
+
+def test_xxh64_pallas_matches(rng):
+    """Pallas stripe kernel == C library (interpret mode; short tokens —
+    interpret cost scales with stripes x the 2048-lane tile)."""
+    from stringwars_tpu.ops.hash import xxh64_pallas
+
+    tokens = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for n in (0, 3, 31, 32, 33, 64, 95, 100)]
+    for seed in (0, 12345):
+        got = xxh64_pallas(_tokens(tokens), seed=seed).to_numpy()
+        want = np.array(
+            [xxhash.xxh64_intdigest(t, seed) for t in tokens], dtype=np.uint64
+        )
+        np.testing.assert_array_equal(got, want)

@@ -173,6 +173,15 @@ def main():
 
     bench("xxh3-1KB-lines-128MB", mk_xxh3, 131072 * 1024)
 
+    def mk_xxh64_pallas():
+        from stringwars_tpu.ops import hash as H
+
+        lay, _ = _lines_layout()
+        f = jax.jit(lambda l: H.xxh64_pallas(l, seed=0, interpret=False))
+        return lambda: f(lay)
+
+    bench("xxh64-pallas-1KB-128MB", mk_xxh64_pallas, 131072 * 1024)
+
     def mk_words():
         from stringwars_tpu.ops import hash as H
         from stringwars_tpu.tape import PaddedTokens
@@ -282,6 +291,21 @@ def main():
         return lambda: _xor_keystream_u32(data_u32, key8, nonce3, jnp.uint32(1), n // 64)
 
     bench("chacha20-xor-128MB", mk_chacha, 128 << 20)
+
+    def mk_find_pallas(nbytes, cap):
+        def make():
+            from stringwars_tpu.ops.find_pallas import StagedHaystack, find_count_pallas
+            from stringwars_tpu.ops.find import pack_needle
+
+            n = 128 << 20
+            staged = StagedHaystack(_flat(n))
+            needle = pack_needle(b"abcdefghabcdefgh"[:nbytes], cap)
+            return lambda: jnp.asarray(find_count_pallas(staged, needle, interpret=False))
+
+        return make
+
+    bench("find-pallas-8B-128MB", mk_find_pallas(8, 4), 128 << 20)
+    bench("find-pallas-16B-128MB", mk_find_pallas(16, 16), 128 << 20)
 
     run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
