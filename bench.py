@@ -21,7 +21,7 @@ KERNELS = [
     # (campaign bench name, result key, reference baseline GB/s)
     ("find-8B-needle-128MB", "find_8B", 11.52),
     ("byteset-128MB", "byteset", 8.34),
-    ("xxh3-1KB-lines-128MB", "xxh3_64", 12.22),
+    ("swh64-1KB-lines-128MB", "swh64", 12.22),
     ("bytesum-256MB", "bytesum", 12.62),
 ]
 

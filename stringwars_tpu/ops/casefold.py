@@ -120,3 +120,87 @@ def uncased_count(haystack_folded: tuple[jax.Array, jax.Array], needle: bytes) -
         return 0
     needle_cp = jnp.asarray(np.asarray(fn)[:fm])
     return int(_window_count(folded, needle_cp, count, fm))
+
+
+# ---------------------------------------------------------------------------
+# Batched per-token fold + caseless equality
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def fold_tokens(tokens) -> tuple[jax.Array, jax.Array]:
+    """Row-wise full case fold of a PaddedTokens batch.
+
+    Returns (folded int32[B, 3W], folded_count int32[B]); each row is the
+    folded codepoint sequence of that token (compacted to the row front).
+    """
+    data = tokens.data.astype(jnp.int32)  # [B, W]
+    B, W = data.shape
+    lengths = tokens.lengths[:, None]
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = pos < lengths
+
+    # Row-wise UTF-8 decode.
+    def nxt(k):
+        return jnp.pad(data, ((0, 0), (0, k)))[:, k:] & 0x3F if k else data
+
+    width = jnp.where(
+        data < 0x80,
+        1,
+        jnp.where(data < 0xC0, 0, jnp.where(data < 0xE0, 2, jnp.where(data < 0xF0, 3, jnp.where(data < 0xF8, 4, 0)))),
+    )
+    b1, b2, b3 = nxt(1), nxt(2), nxt(3)
+    cp = jnp.where(
+        width == 1,
+        data,
+        jnp.where(
+            width == 2,
+            ((data & 0x1F) << 6) | b1,
+            jnp.where(
+                width == 3,
+                ((data & 0x0F) << 12) | (b1 << 6) | b2,
+                ((data & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3,
+            ),
+        ),
+    )
+    is_lead = ((data & 0xC0) != 0x80) & valid
+    dst = jnp.cumsum(is_lead.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(is_lead, dst, W)
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
+    cps = jnp.zeros((B, W), jnp.int32).at[rows, dst].set(cp, mode="drop")
+    cp_count = jnp.sum(is_lead.astype(jnp.int32), axis=1)
+
+    # Row-wise fold with 1->N expansion.
+    inline_np, multi_np, pool_np = _fold_arrays()
+    inline = jnp.asarray(inline_np)
+    multi = jnp.asarray(multi_np)
+    pool = jnp.asarray(pool_np)
+    f = jnp.take(inline, cps)
+    is_multi = f < 0
+    m = jnp.take(multi, cps)
+    length = jnp.where(is_multi, m & 31, 1)
+    # Slots past cp_count fold 1:1 (zeros); exclude them from the output by
+    # clamping their expansion to land past the row end.
+    in_row = jnp.arange(W, dtype=jnp.int32)[None, :] < cp_count[:, None]
+    length = jnp.where(in_row, length, 0)
+    starts = jnp.cumsum(length, axis=1) - length
+    out = jnp.zeros((B, _MAX_EXPANSION * W), jnp.int32)
+    rows3 = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
+    for k in range(_MAX_EXPANSION):
+        val = jnp.where(is_multi, jnp.take(pool, jnp.clip((m >> 5) + k, 0, pool.shape[0] - 1)), f)
+        d = jnp.where(k < length, starts + k, _MAX_EXPANSION * W)
+        out = out.at[rows3, d].set(val, mode="drop")
+    return out, jnp.sum(length, axis=1, dtype=jnp.int32)
+
+
+def uncased_equal_batch(a_tokens, b_tokens) -> jax.Array:
+    """bool[B]: full-fold caseless equality of token pairs (one dispatch)."""
+    fa, ca = fold_tokens(a_tokens)
+    fb, cb = fold_tokens(b_tokens)
+    W = max(fa.shape[1], fb.shape[1])
+    if fa.shape[1] < W:
+        fa = jnp.pad(fa, ((0, 0), (0, W - fa.shape[1])))
+    if fb.shape[1] < W:
+        fb = jnp.pad(fb, ((0, 0), (0, W - fb.shape[1])))
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    agree = (fa == fb) | (pos >= ca[:, None])
+    return (ca == cb) & jnp.all(agree, axis=1)

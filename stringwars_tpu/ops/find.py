@@ -178,3 +178,53 @@ def byteset_count(hay: jax.Array, table: jax.Array, n: int) -> jax.Array:
         selected = jnp.where(word_idx == wi, bitmap[wi], selected)
     member = (selected >> bit_idx) & jnp.uint32(1)
     return jnp.sum(member.astype(jnp.int32), dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation: exact match via sum-of-squared-differences convolutions
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n", "max_m"))
+def _match_mask_conv(hay: jax.Array, needle: PackedNeedle, n: int, max_m: int) -> jax.Array:
+    """bool[n]: window match mask via two MXU convolutions.
+
+    ``sum_j (hay[p+j] - needle[j])^2 == 0`` expands into a windowed square
+    sum and a cross-correlation with the needle — both length-``max_m``
+    convolutions the MXU executes at memory speed. All terms stay below
+    2^24, so f32 arithmetic is exact; shifted-slice fusion problems never
+    arise because convs are native.
+    """
+    # Per-byte mask/needle images from the packed offset-0 image.
+    j_idx = jnp.arange(max_m, dtype=jnp.int32)
+    words = needle.words[0, j_idx // 4]
+    masks_w = needle.masks[0, j_idx // 4]
+    shift = ((j_idx % 4) * 8).astype(jnp.uint32)
+    nb = ((words >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
+    mvalid = (((masks_w >> shift) & jnp.uint32(0xFF)) != 0).astype(jnp.float32)
+
+    hay_f = hay[: n + max_m].astype(jnp.float32)
+    hay_sq = hay_f * hay_f
+
+    def conv(signal, kernel):
+        return jax.lax.conv_general_dilated(
+            signal[None, None, :],
+            kernel[None, None, :],
+            window_strides=(1,),
+            padding="VALID",
+            preferred_element_type=jnp.float32,
+        )[0, 0]
+
+    win_sq = conv(hay_sq, mvalid)[:n]
+    cross = conv(hay_f, nb * mvalid)[:n]
+    needle_sq = jnp.sum(nb * nb * mvalid)
+    diff = win_sq - 2.0 * cross + needle_sq
+    p = jnp.arange(n, dtype=jnp.int32)
+    return (diff == 0.0) & (p <= (n - needle.length))
+
+
+def find_count_conv(hay, needle: PackedNeedle, n: int | None = None) -> jax.Array:
+    """All-matches count via the MXU convolution formulation."""
+    hay = jnp.asarray(hay, dtype=jnp.uint8)
+    n = int(hay.shape[0]) if n is None else n
+    max_m = 4 * needle.capacity - 3
+    return jnp.sum(_match_mask_conv(_staged(hay, n, needle.capacity), needle, n, max_m), dtype=jnp.int32)

@@ -42,8 +42,10 @@ def stage_rows(hay: np.ndarray, n: int) -> tuple[np.ndarray, int]:
 def _make_kernel(max_m: int):
     def kernel(needle_ref, mask_ref, meta_ref, panel_ref, head_ref, out_ref, scratch):
         """Count matches with window starts inside this panel."""
-        scratch[:, :PANEL] = panel_ref[...]
-        scratch[:, PANEL:] = head_ref[...]
+        # i8 vector compares are unsupported by Mosaic on this target;
+        # stage the window as i32.
+        scratch[:, :PANEL] = panel_ref[...].astype(jnp.int32)
+        scratch[:, PANEL:] = head_ref[...].astype(jnp.int32)
         n = meta_ref[0]
         m = meta_ref[1]
         chunk = meta_ref[2]
@@ -52,7 +54,7 @@ def _make_kernel(max_m: int):
         for j in range(max_m):
             nb = needle_ref[j]
             mb = mask_ref[j]
-            ok = (scratch[:, j : j + PANEL] == nb.astype(jnp.uint8)) | (mb == 0)
+            ok = (scratch[:, j : j + PANEL] == nb.astype(jnp.int32)) | (mb == 0)
             acc &= ok
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, PANEL), 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, PANEL), 1)
@@ -89,7 +91,7 @@ def _count(rows, needle_bytes, needle_mask, meta, chunk: int, max_m: int, interp
                 pl.BlockSpec((ROWS, HALO), lambda i, *_: (0, (i + 1) * (PANEL // HALO))),
             ],
             out_specs=pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
-            scratch_shapes=[pltpu.VMEM((ROWS, PANEL + HALO), jnp.uint8)],
+            scratch_shapes=[pltpu.VMEM((ROWS, PANEL + HALO), jnp.int32)],
         ),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
         interpret=interpret,

@@ -58,8 +58,8 @@ _P64_5 = 0x27D4EB2F165667C5
 
 # Stripe loops are fully unrolled up to this many stripes; wider tokens run
 # a lax.scan over the stripe axis with this unroll factor.
-_UNROLL_MAX = 8
-_SCAN_UNROLL = 8
+_UNROLL_MAX = 4
+_SCAN_UNROLL = 1
 
 
 def _rotl32(x: jax.Array, r: int) -> jax.Array:
@@ -423,3 +423,165 @@ def xxh64_pallas(tokens: PaddedTokens | HashLayout, seed: int = 0, *, interpret:
     accs = tuple(U64(hi=out[2 * i], lo=out[2 * i + 1]) for i in range(4))
     seed_u = U64.const(seed)
     return _xxh64_epilogue(accs, layout, seed_u, layout.lengths.shape)
+
+
+# ---------------------------------------------------------------------------
+# swh64 — the framework's native fast 64-bit hash (twin u32 lanes)
+# ---------------------------------------------------------------------------
+#
+# The u64-pair (wideint) round chains are pathological for this TPU stack's
+# compiler (minutes-long compiles, unfused execution), while xxh32-shaped
+# u32 chains fuse to memory speed. swh64 is therefore specified as two
+# decorrelated xxh32-core computations evaluated in one pass over the
+# stripes:
+#   lane L: exact xxh32 core, seed = seed_lo
+#   lane H: exact xxh32 core over data words XORed with 0x85EBCA77,
+#           seed = seed_hi ^ 0x9E3779B9
+#   digest = (avalanche32(H + rotl(L, 16) * P32_3) << 32)
+#          | avalanche32(L ^ rotl(H, 13) * P32_4)
+# The numpy replay in tests is the conformance oracle (like the
+# reference's own sz::hash, this is a first-party spec, not an interop
+# format; use xxh64/xxh3_64 for interop digests).
+
+_SWH_C = jnp.uint32(0x85EBCA77)
+_SWH_GOLD = jnp.uint32(0x9E3779B9)
+
+
+def _xxh32_core(layout: HashLayout, seed, data_xor) -> jax.Array:
+    """The xxh32 algorithm with per-word XOR decorrelation (u32 lanes)."""
+    n = layout.lengths.astype(_U32)
+    seed = jnp.asarray(seed, dtype=_U32)
+    shape = jnp.broadcast_shapes(seed.shape, n.shape)
+    n_stripes = (n // 16).astype(jnp.int32)
+
+    def round_fn(accs, lane, s):
+        active = s < n_stripes
+        new = tuple(
+            _rotl32(accs[i] + (lane[i] ^ data_xor) * _P32_2, 13) * _P32_1 for i in range(4)
+        )
+        return tuple(jnp.where(active, new[i], accs[i]) for i in range(4))
+
+    init = (
+        jnp.broadcast_to(seed + _P32_1 + _P32_2, shape),
+        jnp.broadcast_to(seed + _P32_2, shape),
+        jnp.broadcast_to(seed + jnp.uint32(0), shape),
+        jnp.broadcast_to(seed - _P32_1, shape),
+    )
+    a1, a2, a3, a4 = _run_stripes(layout.words_t, n_stripes, init, 4, round_fn)
+    h_long = _rotl32(a1, 1) + _rotl32(a2, 7) + _rotl32(a3, 12) + _rotl32(a4, 18)
+    h = jnp.where(n >= 16, h_long, seed + _P32_5)
+    h = h + n
+
+    upper_half = (n % 32) >= 16
+    tail = jnp.where(upper_half[None, :], layout.tail_t[4:8], layout.tail_t[0:4]) ^ data_xor
+    r = n % 16
+    n_words = (r // 4).astype(jnp.int32)
+    for k in range(3):
+        h = jnp.where(k < n_words, _rotl32(h + tail[k] * _P32_3, 17) * _P32_4, h)
+    rem = (r % 4).astype(jnp.int32)
+    last = _select_row(tail, n_words)
+    for j in range(3):
+        byte = (last >> (8 * j)) & jnp.uint32(0xFF)
+        h = jnp.where(j < rem, _rotl32(h + byte * _P32_5, 11) * _P32_1, h)
+
+    h = h ^ (h >> 15)
+    h = h * _P32_2
+    h = h ^ (h >> 13)
+    h = h * _P32_3
+    h = h ^ (h >> 16)
+    return h
+
+
+def _avalanche32(h: jax.Array) -> jax.Array:
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    return h
+
+
+def swh64(tokens: PaddedTokens | HashLayout, seed: int | jax.Array = 0) -> U64:
+    """Fast first-party 64-bit hash (see module notes); returns U64[batch].
+
+    ``seed`` may be a uint64 scalar or an array broadcastable against
+    [batch] (e.g. numpy uint64 [k, 1] for multiseed digests [k, batch]).
+    """
+    layout = _as_layout(tokens)
+    import numpy as np
+
+    seed_np = np.asarray(seed, dtype=np.uint64)
+    seed_lo = jnp.asarray((seed_np & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    seed_hi = jnp.asarray((seed_np >> np.uint64(32)).astype(np.uint32))
+    lane_l = _xxh32_core(layout, seed_lo, jnp.uint32(0))
+    lane_h = _xxh32_core(layout, seed_hi ^ _SWH_GOLD, _SWH_C)
+    hi = _avalanche32(lane_h + _rotl32(lane_l, 16) * _P32_3)
+    lo = _avalanche32(lane_l ^ (_rotl32(lane_h, 13) * _P32_4))
+    return U64(hi=hi, lo=lo)
+
+
+def swh64_multiseed(tokens: PaddedTokens | HashLayout, seeds) -> U64:
+    """swh64 under k seeds at once: U64 limbs of shape [k, batch]."""
+    import numpy as np
+
+    return swh64(tokens, np.asarray(seeds, np.uint64).reshape(-1, 1))
+
+
+def swh64_ref(token: bytes, seed: int = 0) -> int:
+    """Pure-python replay of the swh64 spec (conformance oracle)."""
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    def core(data: bytes, seed32: int, xor: int) -> int:
+        P1, P2, P3, P4, P5 = 2654435761, 2246822519, 3266489917, 668265263, 374761393
+        n = len(data)
+        if n >= 16:
+            acc = [
+                (seed32 + P1 + P2) & 0xFFFFFFFF,
+                (seed32 + P2) & 0xFFFFFFFF,
+                seed32 & 0xFFFFFFFF,
+                (seed32 - P1) & 0xFFFFFFFF,
+            ]
+            p = 0
+            while p + 16 <= n:
+                for i in range(4):
+                    lane = int.from_bytes(data[p + 4 * i : p + 4 * i + 4], "little") ^ xor
+                    acc[i] = (rotl((acc[i] + lane * P2) & 0xFFFFFFFF, 13) * P1) & 0xFFFFFFFF
+                p += 16
+            h = (rotl(acc[0], 1) + rotl(acc[1], 7) + rotl(acc[2], 12) + rotl(acc[3], 18)) & 0xFFFFFFFF
+        else:
+            h = (seed32 + P5) & 0xFFFFFFFF
+            p = 0
+        h = (h + n) & 0xFFFFFFFF
+        # Tail words come from the zero-padded 4-byte words of the input
+        # (matching the device layout's aligned zero-padded reads).
+        while p + 4 <= n:
+            w4 = int.from_bytes(data[p : p + 4], "little") ^ xor
+            h = (rotl((h + w4 * P3) & 0xFFFFFFFF, 17) * P4) & 0xFFFFFFFF
+            p += 4
+        if p < n:
+            w4 = int.from_bytes(data[p:n] + bytes(4 - (n - p)), "little") ^ xor
+            for j in range(n - p):
+                byte = (w4 >> (8 * j)) & 0xFF
+                h = (rotl((h + byte * P5) & 0xFFFFFFFF, 11) * P1) & 0xFFFFFFFF
+        h ^= h >> 15
+        h = (h * P2) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * P3) & 0xFFFFFFFF
+        h ^= h >> 16
+        return h
+
+    def avalanche(h):
+        h ^= h >> 15
+        h = (h * 0x2C1B3C6D) & 0xFFFFFFFF
+        h ^= h >> 12
+        h = (h * 0x297A2D39) & 0xFFFFFFFF
+        h ^= h >> 15
+        return h
+
+    lane_l = core(token, seed & 0xFFFFFFFF, 0)
+    lane_h = core(token, ((seed >> 32) ^ 0x9E3779B9) & 0xFFFFFFFF, 0x85EBCA77)
+    hi = avalanche((lane_h + rotl(lane_l, 16) * 3266489917) & 0xFFFFFFFF)
+    lo = avalanche(lane_l ^ ((rotl(lane_h, 13) * 668265263) & 0xFFFFFFFF))
+    return (hi << 32) | lo

@@ -176,6 +176,21 @@ def _compose_scan(cps: jax.Array):
     return jnp.where(is_starter_slot, jnp.take(seg_last, run), emits)
 
 
+@functools.lru_cache(maxsize=None)
+def _nfc_inert_table(compat: bool):
+    import numpy as np
+
+    return _inert_np(compat)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "compat"))
+def nfc_quick_check(cps: jax.Array, n: int, compat: bool = False) -> jax.Array:
+    """True when every codepoint is composition-inert — the stream is
+    already NFC/NFKC verbatim (most real text; skips the compose scan)."""
+    inert = jnp.asarray(_nfc_inert_table(compat))
+    return jnp.all(jnp.take(inert, cps[:n]))
+
+
 @functools.partial(jax.jit, static_argnames=("n", "compat"))
 def _nfc_padded(cps: jax.Array, n: int, compat: bool):
     nfd, count = decompose(cps, n, compat)
@@ -211,6 +226,8 @@ def normalize(text_cps: np.ndarray, form: str = "NFC") -> np.ndarray:
     if form in ("NFD", "NFKD"):
         out, count = decompose(cps, bucket, compat)
         return np.asarray(out)[: int(count) - pad_slots]
+    if bool(nfc_quick_check(cps, bucket, compat)):
+        return text_cps.astype(np.int32)  # already normalized (fast path)
     out, kept, _ = _nfc_padded(cps, bucket, compat)
     return np.asarray(out)[: int(kept) - pad_slots]
 

@@ -134,7 +134,7 @@ def levenshtein(pairs: PairBatch) -> jax.Array:
         cur = jnp.where(i_idx == d, jnp.minimum(d, a_len), cur)
         return (cur, prev), None
 
-    (last, _), _ = jax.lax.scan(step, (prev, prev2), jnp.arange(2, 2 * L + 1))
+    (last, _), _ = jax.lax.scan(step, (prev, prev2), jnp.arange(2, 2 * L + 1), unroll=8)
     return last[:, L]
 
 
@@ -217,7 +217,7 @@ def _score_scan(pairs: PairBatch, match, mismatch, gap_open, gap_extend, *, loca
         return (h_cur, h_prev, v_cur, z_cur, best), None
 
     carry = (h1, h0, v1, z1, best0)
-    (h_last, _, _, _, best), _ = jax.lax.scan(step, carry, jnp.arange(2, 2 * L + 1))
+    (h_last, _, _, _, best), _ = jax.lax.scan(step, carry, jnp.arange(2, 2 * L + 1), unroll=8)
     if local:
         return best
     return h_last[:, L]

@@ -146,14 +146,15 @@ def main() -> None:
     import xxhash
 
     ctx.group("stateless")
+    bench_tpu_hash(ctx, "stateless", lambda l: H.swh64(l, 0), "swh64")
     bench_tpu_hash(ctx, "stateless", H.xxh64, "xxh64")
     bench_tpu_hash(ctx, "stateless", H.xxh32, "xxh32")
     bench_tpu_xxh3(ctx)
     bench_tpu_hash(
         ctx,
         "stateless",
-        functools.partial(H.xxh64_multiseed, seeds=np.arange(8, dtype=np.uint64)),
-        "xxh64_multiseed8",
+        functools.partial(H.swh64_multiseed, seeds=np.arange(8, dtype=np.uint64)),
+        "swh64_multiseed8",
     )
     bench_host_hash(ctx, "stateless/xxhash.xxh3_64", xxhash.xxh3_64_intdigest)
     bench_host_hash(ctx, "stateless/xxhash.xxh64", xxhash.xxh64_intdigest)

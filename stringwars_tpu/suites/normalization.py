@@ -75,9 +75,13 @@ def main() -> None:
     pairs = list(zip(lines, lines[1:]))[:1000]
     pair_bytes = sum(len(a) + len(b) for a, b in pairs)
 
+    from stringwars_tpu.tape import PaddedTokens, Tape
+
+    a_toks = PaddedTokens.from_tape(Tape.from_tokens([p[0] for p in pairs] or [b"x"]), align=4)
+    b_toks = PaddedTokens.from_tape(Tape.from_tokens([p[1] for p in pairs] or [b"x"]), align=4)
+
     def cmp_routine() -> WorkUnits:
-        for a, b in pairs:
-            CF.uncased_equal(a, b)
+        jax.block_until_ready(CF.uncased_equal_batch(a_toks, b_toks))
         return WorkUnits(len(pairs), pair_bytes)
 
     ctx.run("case-insensitive-compare/swtpu::uncased_eq<1chip>", "comparisons", cmp_routine)

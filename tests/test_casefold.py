@@ -46,3 +46,24 @@ def test_uncased_count():
     assert uncased_count(folded, "straße".encode()) == 3
     assert uncased_count(folded, b"die") == 2
     assert uncased_count(folded, b"zzz") == 0
+
+
+def test_uncased_equal_batch():
+    from stringwars_tpu.ops.casefold import uncased_equal_batch
+    from stringwars_tpu.tape import PaddedTokens, Tape
+
+    pairs = [
+        ("Straße".encode(), b"STRASSE", True),
+        (b"Hello", b"hELLO", True),
+        (b"Hello", b"World", False),
+        ("ΣΊΣΥΦΟΣ".encode(), "σίσυφοσ".encode(), True),
+        (b"abc", b"abcd", False),
+        (b"", b"", True),
+        ("ﬁn".encode(), b"fin", True),
+    ]
+    a = PaddedTokens.from_tape(Tape.from_tokens([p[0] for p in pairs]), align=4)
+    b = PaddedTokens.from_tape(Tape.from_tokens([p[1] for p in pairs]), align=4)
+    import numpy as np
+
+    got = np.asarray(uncased_equal_batch(a, b))
+    np.testing.assert_array_equal(got, [p[2] for p in pairs])

@@ -119,3 +119,30 @@ def test_xxh64_pallas_matches(rng):
             [xxhash.xxh64_intdigest(t, seed) for t in tokens], dtype=np.uint64
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_swh64_matches_spec(sweep_tokens):
+    from stringwars_tpu.ops.hash import swh64, swh64_ref
+
+    for seed in (0, 1, 0xDEADBEEFCAFEBABE):
+        got = swh64(_tokens(sweep_tokens), seed).to_numpy()
+        want = np.array([swh64_ref(t, seed) for t in sweep_tokens], dtype=np.uint64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_swh64_multiseed_matches_per_seed(sweep_tokens):
+    from stringwars_tpu.ops.hash import swh64, swh64_multiseed
+
+    seeds = np.array([0, 7, 2**63 + 5], dtype=np.uint64)
+    toks = _tokens(sweep_tokens)
+    multi = swh64_multiseed(toks, seeds).to_numpy()
+    for i, s in enumerate(seeds):
+        np.testing.assert_array_equal(multi[i], swh64(toks, int(s)).to_numpy())
+
+
+def test_swh64_collision_quality(rng):
+    from stringwars_tpu.ops.hash import swh64
+
+    tokens = list({bytes(rng.integers(97, 123, rng.integers(3, 12), dtype=np.uint8)) for _ in range(5000)})
+    digests = swh64(_tokens(tokens), 0).to_numpy()
+    assert np.unique(digests).size == len(tokens)  # no collisions on 5k tokens

@@ -307,6 +307,40 @@ def main():
     bench("find-pallas-8B-128MB", mk_find_pallas(8, 4), 128 << 20)
     bench("find-pallas-16B-128MB", mk_find_pallas(16, 16), 128 << 20)
 
+    def mk_find_conv(nbytes, cap):
+        def make():
+            from stringwars_tpu.ops import find as F
+
+            n = 128 << 20
+            needle = F.pack_needle(b"abcdefghabcdefgh"[:nbytes], cap)
+            hay = jax.device_put(np.asarray(F._staged(jnp.asarray(_flat(n)), n, cap)))
+            max_m = 4 * cap - 3
+            return lambda: F._match_mask_conv(hay, needle, n, max_m).sum()
+
+        return make
+
+    bench("find-conv-8B-128MB", mk_find_conv(8, 4), 128 << 20)
+    bench("find-conv-16B-128MB", mk_find_conv(16, 16), 128 << 20)
+
+    def mk_swh64():
+        from stringwars_tpu.ops import hash as H
+
+        lay, _ = _lines_layout()
+        f = jax.jit(lambda l: H.swh64(l, 0))
+        return lambda: f(lay)
+
+    bench("swh64-1KB-lines-128MB", mk_swh64, 131072 * 1024)
+
+    def mk_swh64_multiseed():
+        from stringwars_tpu.ops import hash as H
+
+        lay, _ = _lines_layout()
+        seeds16 = np.arange(16, dtype=np.uint64)
+        f = jax.jit(lambda l: H.swh64_multiseed(l, seeds16))
+        return lambda: f(lay)
+
+    bench("swh64-multiseed16-1KB", mk_swh64_multiseed, 131072 * 1024)
+
     run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
 
