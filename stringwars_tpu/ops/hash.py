@@ -585,3 +585,11 @@ def swh64_ref(token: bytes, seed: int = 0) -> int:
     hi = avalanche((lane_h + rotl(lane_l, 16) * 3266489917) & 0xFFFFFFFF)
     lo = avalanche(lane_l ^ ((rotl(lane_h, 13) * 668265263) & 0xFFFFFFFF))
     return (hi << 32) | lo
+
+
+# NOTE on 64-bit hash throughput (v5e via the axon stack, round 1): the
+# wideint (u32-pair) kernels — xxh64/xxh3 — execute around 4 GB/s/chip and
+# certain small masked-arithmetic programs trigger multi-minute server-side
+# compiles; see tools/tpu_campaign.py for the measurement protocol. swh64
+# exists as the first-party fast-hash spec pending a Mosaic-level round
+# kernel in a future round.
