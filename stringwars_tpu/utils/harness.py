@@ -145,3 +145,27 @@ def clamped_subranges(count: int, stride: int = PACING_STRIDE_CAP) -> Iterator[t
     """(low, high) windows covering [0, count) in stride-sized steps."""
     for low in range(0, count, stride):
         yield low, min(low + stride, count)
+
+
+def reduce_in_windows(function, *columns, deadline_ns: int, step: int = PACING_STRIDE_CAP, combine=sum):
+    """Apply ``function`` across zipped columns window-at-a-time, reducing
+    each window with ``combine`` — the reference's C-map pacing trick
+    (``utils.py:143-187``): the per-item loop runs inside ``map`` with the
+    deadline checked once per adaptive window. Returns (total, processed).
+    """
+    count = min((len(column) for column in columns), default=0)
+    total = 0
+    low = 0
+    window = 1
+    last_check = now_ns()
+    while low < count:
+        if now_ns() >= deadline_ns:
+            break
+        high = min(low + window, count)
+        total += combine(map(function, *(column[low:high] for column in columns)))
+        current = now_ns()
+        if current - last_check < PACING_TARGET_BETWEEN_CHECKS_NS and window < step:
+            window = min(window * 2, step)
+        last_check = current
+        low = high
+    return total, low

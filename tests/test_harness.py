@@ -64,3 +64,14 @@ def test_filter_substring_fallback():
     assert should_run("find/sz::find[abc]", pattern)
     assert not should_run("hash/xxh3", pattern)
     assert should_run("anything", None)
+
+
+def test_reduce_in_windows():
+    from stringwars_tpu.utils.harness import reduce_in_windows
+
+    total, done = reduce_in_windows(
+        lambda a, b: a * b, [1, 2, 3, 4], [10, 20, 30, 40], deadline_ns=now_ns() + 10**9
+    )
+    assert (total, done) == (10 + 40 + 90 + 160, 4)
+    total, done = reduce_in_windows(lambda a: a, [], deadline_ns=now_ns() + 10**6)
+    assert (total, done) == (0, 0)

@@ -68,9 +68,14 @@ def run_benches():
             t0 = time.perf_counter()
             fn = make()
             jax.block_until_ready(fn())
-            log(f"setup+compile {name} in {time.perf_counter() - t0:.1f}s")
+            compile_s = time.perf_counter() - t0
+            log(f"setup+compile {name} in {compile_s:.1f}s")
             if compile_only:
                 continue
+            if compile_s > 15.0:
+                # The server-side compile helper may still be churning
+                # (poisoning every dispatch); wait for quiescence.
+                wait_healthy(900)
             ts = []
             for _ in range(iters):
                 t0 = time.perf_counter()
