@@ -121,6 +121,20 @@ def _count_from_mask(hay, needle, n):
     return jnp.sum(_match_mask(hay, needle, n), dtype=jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "limit"))
+def _count_from_mask_limit(hay, needle, n, limit):
+    """Matches with window start < ``limit``, compared over ``hay[:n + m - 1]``.
+
+    The shard-halo convention: a shard owns window starts in its own
+    ``chunk`` bytes but may compare across the (m-1)-byte halo; pass
+    ``n > limit`` so seam-straddling windows are verified, and ``limit``
+    = chunk so each window is counted by exactly one shard.
+    """
+    mask = _match_mask(hay, needle, n)
+    p = jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(mask & (p < limit), dtype=jnp.int32)
+
+
 def _staged(hay, n: int, cap: int):
     pad_to = n + 4 * cap + 8
     pad_to += -pad_to % 512  # keep the [R, 128, 4] bitcast view exact
@@ -222,9 +236,20 @@ def _match_mask_conv(hay: jax.Array, needle: PackedNeedle, n: int, max_m: int) -
     return (diff == 0.0) & (p <= (n - needle.length))
 
 
+# Largest needle for which every f32 intermediate (win_sq - 2*cross can
+# reach ~2*max_m*255^2) stays under 2^23, keeping the SSD test exact.
+_CONV_MAX_M = 129
+
+
 def find_count_conv(hay, needle: PackedNeedle, n: int | None = None) -> jax.Array:
     """All-matches count via the MXU convolution formulation."""
     hay = jnp.asarray(hay, dtype=jnp.uint8)
     n = int(hay.shape[0]) if n is None else n
     max_m = 4 * needle.capacity - 3
+    if max_m > _CONV_MAX_M:
+        raise ValueError(
+            f"conv find supports needles up to {_CONV_MAX_M} bytes "
+            f"(capacity {needle.capacity} words allows {max_m}); "
+            "f32 SSD intermediates would exceed 2^24 and round"
+        )
     return jnp.sum(_match_mask_conv(_staged(hay, n, needle.capacity), needle, n, max_m), dtype=jnp.int32)

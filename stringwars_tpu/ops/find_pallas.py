@@ -119,10 +119,15 @@ def find_count_pallas(staged: StagedHaystack, needle, *, interpret: bool | None 
         from stringwars_tpu.ops.find import pack_needle
 
         needle = pack_needle(needle, 16)
-    # Offset-0 byte image + mask, padded to 61 entries.
+    # Offset-0 byte image + mask, truncated to the kernel's window.
     words = np.asarray(needle.words[0])
     masks = np.asarray(needle.masks[0])
     max_m = min(4 * words.shape[0] - 3, HALO - 3)
+    if int(needle.length) > max_m:
+        raise ValueError(
+            f"needle of {int(needle.length)} bytes exceeds the Pallas panel "
+            f"window ({max_m} bytes); matches would be overcounted"
+        )
     nb = np.zeros(max_m, np.uint32)
     mb = np.zeros(max_m, np.uint32)
     for j in range(max_m):

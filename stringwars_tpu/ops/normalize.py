@@ -108,11 +108,14 @@ def decompose(cps: jax.Array, n: int, compat: bool = False) -> tuple[jax.Array, 
         out = out.at[dst].set(val, mode="drop")
     count = jnp.sum(length, dtype=jnp.int32)
 
-    # Canonical reordering: stable sort by (starter-run, ccc).
+    # Canonical reordering: stable sort by (starter-run, ccc) as two LSD
+    # passes — ccc first, then run — so no packed key can overflow int32
+    # (run*256 + ccc wraps negative past 2^23 output slots and scrambles
+    # benchmark-scale NFD/NFKD streams).
     ccc = jnp.take(jnp.asarray(_ccc_np()), out)
     run = jnp.cumsum((ccc == 0).astype(jnp.int32))
-    key = run * 256 + ccc
-    order = jnp.argsort(key, stable=True)
+    order = jnp.argsort(ccc, stable=True)
+    order = jnp.take(order, jnp.argsort(jnp.take(run, order), stable=True))
     return jnp.take(out, order), count
 
 

@@ -33,11 +33,17 @@ from stringwars_tpu.tape import PaddedTokens
 def _local_step(hay_rows, tokens_data, tokens_lengths, needle_words, needle_masks, needle_len, lut):
     """Per-shard compute (runs under shard_map on the local block)."""
     # K1: all-matches substring count over this shard's haystack rows.
+    # Each row is a chunk plus an (m-1)-byte halo: compare windows over the
+    # halo (n_cmp) but count only starts the chunk owns (limit), so
+    # seam-straddling matches are counted by exactly one shard.
     needle = F.PackedNeedle(words=needle_words, masks=needle_masks, length=needle_len)
     row_n = hay_rows.shape[1]
+    max_m = 4 * needle.capacity - 3
+    chunk = row_n - 4 * needle.capacity - 8
+    n_cmp = row_n - (max_m - 1)
     match_count = jnp.int32(0)
     for r in range(hay_rows.shape[0]):
-        match_count += F._count_from_mask(hay_rows[r], needle, row_n - 4 * needle.capacity - 8)
+        match_count += F._count_from_mask_limit(hay_rows[r], needle, n_cmp, chunk)
     # K3 + K6: hash and fingerprint the local token batch.
     tokens = PaddedTokens(data=tokens_data, lengths=tokens_lengths, width=tokens_data.shape[1])
     layout = H.prepare(tokens)

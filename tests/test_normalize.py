@@ -32,6 +32,25 @@ def test_normalize_known(form, text):
     assert normalize_text(text, form) == unicodedata.normalize(form, text)
 
 
+def test_decompose_large_stream_no_key_overflow():
+    """Benchmark-scale NFKD: the reorder sort key must not wrap int32.
+
+    Regression for the packed ``run * 256 + ccc`` key, which went negative
+    past 2^23 output slots (NFKD hits that at ~466k inputs) and scrambled
+    the output to a zero prefix.
+    """
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.normalize import decompose
+
+    n = 600_000
+    cps = np.full(n, ord("a"), np.int32)
+    out, count = decompose(jnp.asarray(cps), n, compat=True)
+    assert int(count) == n
+    got = np.asarray(out)[:n]
+    np.testing.assert_array_equal(got, cps)
+
+
 @pytest.mark.parametrize("form", ["NFD", "NFKD", "NFC", "NFKC"])
 def test_normalize_fuzz(rng, form):
     interesting = (

@@ -40,6 +40,56 @@ def test_sharded_pipeline_matches_replay(n_devices):
     )
 
 
+def test_pipeline_match_count_exact_at_seams():
+    """The sharded pipeline's K1 count equals the global all-matches count,
+    including matches straddling shard seams (regression: window starts in
+    the last m-1 bytes of each chunk used to be dropped)."""
+    import re
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stringwars_tpu.ops import find as F
+    from stringwars_tpu.parallel.pipeline import make_sharded_step
+
+    n_chips = 4
+    devices = jax.devices()
+    if len(devices) < n_chips:
+        pytest.skip("needs virtual multi-device mesh")
+    mesh = Mesh(np.array(devices[:n_chips]), ("shard",))
+    step = make_sharded_step(mesh)
+
+    rng = np.random.default_rng(11)
+    packed = F.pack_needle(b"abab", 4)
+    chunk = 1024
+    pad = 4 * packed.capacity + 8
+    buf = np.zeros(n_chips * chunk + pad, np.uint8)
+    data = rng.choice(np.frombuffer(b"ab", np.uint8), n_chips * chunk)
+    # Force a match exactly across every seam.
+    for r in range(1, n_chips):
+        data[r * chunk - 2 : r * chunk + 2] = np.frombuffer(b"abab", np.uint8)
+    buf[: data.size] = data
+    rows = np.lib.stride_tricks.sliding_window_view(buf, chunk + pad)[::chunk][:n_chips]
+
+    tokens = rng.integers(32, 127, (n_chips * 4, 32), dtype=np.uint8)
+    lengths = rng.integers(1, 32, n_chips * 4, dtype=np.int32)
+    lut = np.arange(256, dtype=np.uint8)
+    shard2 = NamedSharding(mesh, P("shard", None))
+    shard1 = NamedSharding(mesh, P("shard"))
+    repl = NamedSharding(mesh, P())
+    out = step(
+        jax.device_put(np.ascontiguousarray(rows), shard2),
+        jax.device_put(tokens, shard2),
+        jax.device_put(lengths, shard1),
+        jax.device_put(np.asarray(packed.words), repl),
+        jax.device_put(np.asarray(packed.masks), repl),
+        jax.device_put(np.asarray(packed.length), repl),
+        jax.device_put(lut, repl),
+    )
+    want = len(re.findall(b"(?=abab)", data.tobytes()))
+    assert int(out["matches"]) == want
+
+
 def test_shard_bytes_halo_find():
     """Byte-axis sharding with halos: no matches lost at shard seams."""
     from stringwars_tpu.parallel.mesh import make_mesh
