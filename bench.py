@@ -3,10 +3,17 @@
 
 Measures the flagship kernels on the real TPU chip — each in its own
 subprocess (the tunneled device client degrades in-process after heavy
-program loading; a fresh process per kernel measures clean, see
-tools/tpu_campaign.py) — and reports find-kernel GB/s per chip against the
-reference's best published number (sz::find 11.52 GB/s on Sapphire Rapids,
-BASELINE.md), falling back to byteset -> xxh3 -> bytesum.
+Pallas compiles; see tools/tpu_campaign.py) — and prints the headline
+JSON for the FIRST kernel that succeeds, so one hung kernel can never
+starve the whole run (the round-1 failure mode). Kernel order puts the
+flagship substring-find first; per-kernel budgets are sized so even the
+worst case finishes inside the driver's budget.
+
+The find headline uses the needle-cycling batch kernel (64 needles per
+dispatch over a 128 MB haystack = 8 GB scanned per call), which matches
+the reference's cycling hot loop (find/bench.rs:79-143) and amortizes the
+tunnel's per-dispatch overhead.
+
 Diagnostics to stderr; stdout carries exactly one JSON line.
 """
 
@@ -18,14 +25,13 @@ import subprocess
 import sys
 
 KERNELS = [
-    # (campaign bench name, result key, reference baseline GB/s).
-    # Ordered by measurement reliability; the headline is the first that
-    # succeeds. byteset is the find suite's byteset-forward group (vs
-    # sz::find_byteset 8.34 GB/s, BASELINE.md).
-    ("byteset-128MB", "byteset_find", 8.34),
-    ("bytesum-256MB", "bytesum", 12.62),
-    ("find-8B-needle-128MB", "find_8B", 11.52),
-    ("swh64-1KB-lines-128MB", "swh64_hash", 12.22),
+    # (campaign bench name, result key, reference baseline GB/s, budget s).
+    # The headline is the first that succeeds. Baselines: sz::find 11.52,
+    # sz::find_byteset 8.34, sz::bytesum 12.62, sz::hash 12.22 (BASELINE.md).
+    ("find-cycle64-8B-128MB", "find_8B", 11.52, 420.0),
+    ("byteset-128MB", "byteset_find", 8.34, 180.0),
+    ("bytesum-256MB", "bytesum", 12.62, 180.0),
+    ("swh64-1KB-lines-128MB", "swh64_hash", 12.22, 150.0),
 ]
 
 
@@ -33,17 +39,17 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_kernel(name: str, timeout_s: float = 900.0) -> dict | None:
+def run_kernel(name: str, timeout_s: float) -> dict | None:
     campaign = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_campaign.py")
     try:
         proc = subprocess.run(
-            [sys.executable, campaign, "--only", name],
+            [sys.executable, campaign, "--only", name, "--max-wait", "120"],
             capture_output=True,
             timeout=timeout_s,
             text=True,
         )
     except subprocess.TimeoutExpired:
-        log(f"{name}: timed out")
+        log(f"{name}: timed out after {timeout_s:.0f}s")
         return None
     for line in proc.stderr.splitlines()[-4:]:
         log(f"  {line}")
@@ -56,23 +62,17 @@ def run_kernel(name: str, timeout_s: float = 900.0) -> dict | None:
 
 
 def main() -> None:
-    results: dict[str, float] = {}
-    for name, key, baseline in KERNELS:
-        out = run_kernel(name)
+    for name, key, baseline, budget in KERNELS:
+        out = run_kernel(name, budget)
         if out and "value" in out:
-            results[key] = (out["value"], baseline)
             log(f"{key}: {out['value']} GB/s ({out['ms']} ms)")
-
-    for _, key, baseline in KERNELS:
-        if key in results:
-            value, baseline = results[key]
             print(
                 json.dumps(
                     {
                         "metric": f"{key}_throughput",
-                        "value": round(value, 2),
+                        "value": round(out["value"], 2),
                         "unit": "GB/s",
-                        "vs_baseline": round(value / baseline, 2),
+                        "vs_baseline": round(out["value"] / baseline, 2),
                     }
                 ),
                 flush=True,

@@ -150,6 +150,40 @@ def find_count(hay, needle: PackedNeedle, n: int | None = None) -> jax.Array:
     return _count_from_mask(_staged(hay, n, needle.capacity), needle, n)
 
 
+@functools.partial(jax.jit, static_argnames=("n_cmp",))
+def _count_from_mask_sharded(hay_row, needle, n_cmp: int, limit, lo, n_glob):
+    """Per-shard all-matches count with halo compare + global end bound.
+
+    Counts window starts ``p`` with ``p < limit`` (this shard owns them)
+    and ``lo + p <= n_glob - m`` (window fully inside the global corpus),
+    comparing across the shard's halo. ``limit``, ``lo``, ``n_glob`` are
+    dynamic so one program serves every shard under ``shard_map``.
+    """
+    mask = _match_mask(hay_row, needle, n_cmp)
+    p = jnp.arange(n_cmp, dtype=jnp.int32)
+    ok = mask & (p < limit) & ((lo + p) <= (n_glob - needle.length))
+    return jnp.sum(ok, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _count_last_from_mask(hay, needle, n):
+    mask = _match_mask(hay, needle, n)
+    p = jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(mask, dtype=jnp.int32), jnp.max(jnp.where(mask, p, -1))
+
+
+def rfind_count(hay, needle: PackedNeedle, n: int | None = None):
+    """Backward-search semantics: (all-matches count, LAST match offset).
+
+    Distinct program from ``find_count`` (adds the max-position reduce),
+    matching the reference's rfind loop (``find/bench.rs:144-219``).
+    """
+    hay = jnp.asarray(hay, dtype=jnp.uint8)
+    n = int(hay.shape[0]) if n is None else n
+    count, last = _count_last_from_mask(_staged(hay, n, needle.capacity), needle, n)
+    return count, last
+
+
 def find_positions(hay, needle: PackedNeedle, n: int | None = None) -> np.ndarray:
     """Sorted byte offsets of all matches (host-side; tests / conformance)."""
     hay = jnp.asarray(hay, dtype=jnp.uint8)
@@ -169,15 +203,12 @@ def pack_byteset(charset: bytes) -> jax.Array:
     return jnp.asarray(table)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def byteset_count(hay: jax.Array, table: jax.Array, n: int) -> jax.Array:
-    """Count of bytes of ``hay[:n]`` that belong to the set.
+def _byteset_member(hay: jax.Array, table: jax.Array, n: int) -> jax.Array:
+    """uint32[n] membership mask of ``hay[:n]`` against the 256-entry set.
 
-    One-hot membership is evaluated without gathers: byte values are
-    compared against a broadcast iota over a [256]-wide one-hot… which would
-    be 256 compares; instead use 8 planar bit tests: the table is compressed
-    to a 256-bit bitmap held in eight u32 lanes, and each byte tests its bit
-    via shifts — O(1) ops per byte.
+    One-hot membership is evaluated without gathers: the table is
+    compressed to a 256-bit bitmap held in eight u32 lanes, and each byte
+    tests its bit via shifts — O(1) ops per byte.
     """
     data = hay[:n].astype(jnp.int32)
     # Compress table to bitmap[8] u32 (static under jit because table is
@@ -190,8 +221,22 @@ def byteset_count(hay: jax.Array, table: jax.Array, n: int) -> jax.Array:
     selected = jnp.zeros(data.shape, dtype=jnp.uint32)
     for wi in range(8):
         selected = jnp.where(word_idx == wi, bitmap[wi], selected)
-    member = (selected >> bit_idx) & jnp.uint32(1)
-    return jnp.sum(member.astype(jnp.int32), dtype=jnp.int32)
+    return (selected >> bit_idx) & jnp.uint32(1)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def byteset_count(hay: jax.Array, table: jax.Array, n: int) -> jax.Array:
+    """Count of bytes of ``hay[:n]`` that belong to the set."""
+    return jnp.sum(_byteset_member(hay, table, n).astype(jnp.int32), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def byteset_count_bounded(hay, table, n: int, lo, n_glob) -> jax.Array:
+    """Sharded byteset count: only positions with ``lo + p < n_glob`` count
+    (excludes the zero padding past the corpus end on the last shard)."""
+    member = _byteset_member(hay, table, n).astype(jnp.int32)
+    p = jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(jnp.where(lo + p < n_glob, member, 0), dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -11,11 +11,19 @@ prints ``SKIPPED (<reason>)`` and the suite moves on
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import traceback
 from typing import Callable
 
 import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS, so "JAX_PLATFORMS=cpu
+# python -m stringwars_tpu.suites.<x>" would silently still run on the
+# tunneled chip (and contend with any campaign measurement). Honor the
+# conventional env var here, before the backend initializes.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from stringwars_tpu import datasets
 from stringwars_tpu.parallel.mesh import DeviceScope, scope_variants

@@ -66,6 +66,102 @@ def test_empty_needle_rejected():
         pack_needle(b"")
 
 
+@pytest.mark.parametrize("m", [1, 2, 3, 4, 5, 8, 13, 16, 33, 61])
+def test_find_pallas_packed(rng, m):
+    """Packed-word Pallas kernel (interpret mode) vs brute force, covering
+    all 4 byte offsets, panel seams, and both capacity buckets."""
+    from stringwars_tpu.ops.find_pallas import StagedHaystack, find_count_pallas
+
+    hay = rng.integers(0, 3, 300_000, dtype=np.uint8) + 97  # a-c: dense matches
+    hay_b = hay.tobytes()
+    staged = StagedHaystack(hay)
+    for start in (0, 1, 2, 3, 1337):
+        needle = hay_b[start : start + m]
+        cap = 4 if m <= 13 else 16
+        packed = pack_needle(needle, cap)
+        want = len(brute_positions(hay_b, needle))
+        assert find_count_pallas(staged, packed) == want, (m, start)
+
+
+def test_rfind_count_last_position(rng):
+    hay = rng.integers(0, 3, 20_000, dtype=np.uint8) + 97
+    hay_b = hay.tobytes()
+    for needle in [hay_b[55:58], hay_b[100:108], b"zzz"]:
+        packed = pack_needle(needle, 4)
+        count, last = F_rfind(hay, packed)
+        want = brute_positions(hay_b, needle)
+        assert int(count) == len(want)
+        assert int(last) == (want[-1] if want else -1)
+
+
+def F_rfind(hay, packed):
+    from stringwars_tpu.ops.find import rfind_count
+
+    return rfind_count(hay, packed)
+
+
+def test_rfind_pallas_last_position(rng):
+    from stringwars_tpu.ops.find_pallas import StagedHaystack, rfind_pallas
+
+    hay = rng.integers(0, 3, 120_000, dtype=np.uint8) + 97
+    hay_b = hay.tobytes()
+    staged = StagedHaystack(hay)
+    for needle in [hay_b[999:1004], hay_b[-7:], b"qqq"]:
+        packed = pack_needle(needle, 4)
+        count, last = rfind_pallas(staged, packed)
+        want = brute_positions(hay_b, needle)
+        assert count == len(want)
+        assert last == (want[-1] if want else -1)
+
+
+def test_byteset_count_bounded_excludes_padding():
+    from stringwars_tpu.ops.find import byteset_count_bounded
+    import jax.numpy as jnp
+
+    hay = np.frombuffer(b"12ab\x00\x00\x00\x00", np.uint8)
+    table = pack_byteset(b"0123456789\x00")
+    # Global corpus ends at byte 4: the NUL padding (in the set!) must not count.
+    got = byteset_count_bounded(hay, table, 8, jnp.int32(0), jnp.int32(4))
+    assert int(got) == 2
+
+
+def test_find_pallas_cycle_batch(rng):
+    """One-dispatch needle batch matches per-needle counts."""
+    from stringwars_tpu.ops.find_pallas import NeedleBatch, StagedHaystack, find_count_cycle
+
+    hay = rng.integers(0, 3, 100_000, dtype=np.uint8) + 97
+    hay_b = hay.tobytes()
+    staged = StagedHaystack(hay)
+    needles = [hay_b[s : s + m] for s, m in [(0, 3), (11, 5), (202, 8), (303, 13), (47, 1)]]
+    batch = NeedleBatch(staged, [pack_needle(nd, 4) for nd in needles])
+    counts = np.asarray(find_count_cycle(staged, batch))
+    want = [len(brute_positions(hay_b, nd)) for nd in needles]
+    np.testing.assert_array_equal(counts, want)
+
+
+def test_find_pallas_batch_rejects_mixed_capacity():
+    from stringwars_tpu.ops.find_pallas import NeedleBatch, StagedHaystack
+
+    staged = StagedHaystack(np.zeros(4096, np.uint8))
+    with pytest.raises(ValueError):
+        NeedleBatch(staged, [pack_needle(b"ab", 4), pack_needle(b"cd", 16)])
+
+
+def test_find_pallas_rejects_oversize_needle():
+    from stringwars_tpu.ops.find import PackedNeedle
+    from stringwars_tpu.ops.find_pallas import HALOW, StagedHaystack, find_count_pallas
+    import jax.numpy as jnp
+
+    staged = StagedHaystack(np.zeros(1024, np.uint8))
+    big = PackedNeedle(
+        words=jnp.zeros((4, HALOW), jnp.uint32),
+        masks=jnp.zeros((4, HALOW), jnp.uint32),
+        length=jnp.int32(4 * HALOW - 3),
+    )
+    with pytest.raises(ValueError):
+        find_count_pallas(staged, big)
+
+
 @pytest.mark.parametrize(
     "charset", [b"\n\r\x0b\x0c", b"</>&'\"=[]", b"0123456789", bytes(range(200, 256))]
 )

@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persist compiled executables across processes: the per-process measurement
+# protocol depends on warm-cache processes compiling in ~0 s (a fresh heavy
+# compile degrades every dispatch for ~10 min afterwards).
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 RESULTS: dict[str, dict] = {}
 _BENCHES: list = []
 
@@ -59,6 +65,9 @@ def bench(name, make, work_bytes, unit="GB/s", elements=None, iters=7):
 
 def run_benches():
     compile_only = "--compile-only" in sys.argv
+    max_wait = 900.0
+    if "--max-wait" in sys.argv:
+        max_wait = float(sys.argv[sys.argv.index("--max-wait") + 1])
     selected = _BENCHES
     if "--only" in sys.argv:
         want = sys.argv[sys.argv.index("--only") + 1]
@@ -75,7 +84,7 @@ def run_benches():
             if compile_s > 15.0:
                 # The server-side compile helper may still be churning
                 # (poisoning every dispatch); wait for quiescence.
-                wait_healthy(900)
+                wait_healthy(max_wait)
             ts = []
             for _ in range(iters):
                 t0 = time.perf_counter()
@@ -311,6 +320,30 @@ def main():
 
     bench("find-pallas-8B-128MB", mk_find_pallas(8, 4), 128 << 20)
     bench("find-pallas-16B-128MB", mk_find_pallas(16, 16), 128 << 20)
+
+    def mk_find_cycle(nbytes, cap, n_needles=64):
+        def make():
+            from stringwars_tpu.ops.find import pack_needle
+            from stringwars_tpu.ops.find_pallas import (
+                NeedleBatch,
+                StagedHaystack,
+                find_count_cycle,
+            )
+
+            n = 128 << 20
+            staged = StagedHaystack(_flat(n))
+            rng = np.random.default_rng(3)
+            needles = [
+                pack_needle(rng.integers(97, 123, nbytes, dtype=np.uint8).tobytes(), cap)
+                for _ in range(n_needles)
+            ]
+            batch = NeedleBatch(staged, needles)
+            return lambda: find_count_cycle(staged, batch, interpret=False)
+
+        return make
+
+    bench("find-cycle64-8B-128MB", mk_find_cycle(8, 4), 64 * (128 << 20))
+    bench("find-cycle64-16B-128MB", mk_find_cycle(16, 16), 64 * (128 << 20))
 
     def mk_find_conv(nbytes, cap):
         def make():
