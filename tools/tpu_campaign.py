@@ -243,6 +243,33 @@ def main():
     bench("levenshtein-8192x256B", mk_lev(False), cells, unit="GCUPS", elements=cells)
     bench("nw-affine-8192x256B", mk_lev(True), cells, unit="GCUPS", elements=cells)
 
+    def mk_myers(Bp, L):
+        def make():
+            from stringwars_tpu.ops.myers_pallas import MyersBatch, _myers
+
+            rng = np.random.default_rng(0)
+            a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
+            b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
+            lens = np.full(Bp, L, np.int32)
+            batch = MyersBatch(a, b, lens, lens)
+            jax.block_until_ready((batch.bp, batch.b_cols))
+            return lambda: _myers(
+                batch.bp,
+                batch.b_cols,
+                batch.blen,
+                batch.lastw,
+                batch.lastr,
+                batch.alen,
+                batch.n_words,
+                batch.nbits,
+                False,
+            )
+
+        return make
+
+    mcells = 65536 * 256 * 256
+    bench("lev-myers-64kx256B", mk_myers(65536, 256), mcells, unit="GCUPS", elements=mcells)
+
     def mk_fp():
         from stringwars_tpu.ops.fingerprint import fingerprint
         from stringwars_tpu.tape import PaddedTokens
