@@ -21,8 +21,10 @@ import jax
 # The axon TPU plugin ignores JAX_PLATFORMS, so "JAX_PLATFORMS=cpu
 # python -m stringwars_tpu.suites.<x>" would silently still run on the
 # tunneled chip (and contend with any campaign measurement). Honor the
-# conventional env var here, before the backend initializes.
+# conventional env var here, before the backend initializes (both the
+# env var and the config update are needed — see tests/conftest.py).
 if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
 
 from stringwars_tpu import datasets

@@ -9,10 +9,9 @@ import math
 
 import numpy as np
 
-from stringwars_tpu.ops.sort import argsort_tokens, argsort_uncased
+from stringwars_tpu.ops.sort import argsort_tape, argsort_uncased
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
-from stringwars_tpu.tape import PaddedTokens
-from stringwars_tpu.utils.harness import WorkUnits, sync
+from stringwars_tpu.utils.harness import WorkUnits
 
 
 def main() -> None:
@@ -27,10 +26,13 @@ def main() -> None:
     total = ctx.tape.total_bytes
 
     ctx.group("argsort")
-    tokens = PaddedTokens.from_tape(ctx.tape, align=4)
+    # Caller-owned out buffer, reference zero-alloc discipline
+    # (sequence/bench.py:212-232); device sorts a 96-byte radix prefix so
+    # one long line can't inflate the key matrix (ties refine host-side).
+    out_buf = np.empty(count, dtype=np.intp)
 
     def tpu_routine() -> WorkUnits:
-        sync(argsort_tokens(tokens))
+        argsort_tape(ctx.tape, prefix_width=96, out=out_buf)
         return WorkUnits(elements=comparisons, bytes=total)
 
     ctx.run("argsort/swtpu::argsort<1chip>", "comparisons", tpu_routine)
@@ -54,7 +56,7 @@ def main() -> None:
     ctx.group("argsort-uncased")
 
     def uncased_routine() -> WorkUnits:
-        argsort_uncased(ctx.tape)
+        argsort_uncased(ctx.tape, prefix_width=96, out=out_buf)
         return WorkUnits(elements=comparisons, bytes=total)
 
     ctx.run("argsort-uncased/swtpu::argsort_uncased<1chip>", "comparisons", uncased_routine)

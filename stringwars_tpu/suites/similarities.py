@@ -5,17 +5,33 @@ defaults 5 s + 30 s, words tokens on DNA-style corpora).
 Workload shape mirrors the reference: ``side = round(sqrt(batch))`` queries
 vs candidates from disjoint token slices, every (q, c) pair scored per call,
 CUPS = sum(|q|) * sum(|c|) cells per pass (``similarities/bench.rs:113-118,
-216-224``).
+216-224``). The uniform group includes the UTF-8 codepoint variant
+(``LevenshteinDistancesUtf8``, ``similarities/bench.rs:230-247``) and — when
+``SWTPU_ERROR_BOUND`` is set — the banded variant (reference
+``STRINGWARS_ERROR_BOUND``, ``README.md:311``).
+
+Engines: on TPU the uniform distances run the bit-parallel Myers Pallas
+kernel (``ops/myers_pallas``); the gap-cost scores and all CPU paths run
+the anti-diagonal wavefront (``ops/similarity``). Device rows sweep
+``<1chip>`` plus a sharded ``<Nchip>`` scope (pair batch split on the
+leading axis, scores computed per shard — the reference's 1cpu/Ncpu/1gpu
+sweep, ``similarities/bench.rs:376-399``).
 """
 
 from __future__ import annotations
 
 import math
+import sys
 
+import jax
 import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
 
 from stringwars_tpu.ops import similarity as S
+from stringwars_tpu.parallel.mesh import SHARD_AXIS, DeviceScope
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.utils.config import get_env_parsed
 from stringwars_tpu.utils.harness import WorkUnits, sync
 
 
@@ -36,7 +52,60 @@ def build_crossproduct(ctx: SuiteContext, max_side: int = 64, max_len: int = 256
     batch = S.pack_pairs(pairs_a, pairs_b)
     cells = sum(len(q) for q in queries) * sum(len(c) for c in candidates)
     total_bytes = sum(map(len, pairs_a)) + sum(map(len, pairs_b))
-    return batch, cells, total_bytes, queries, candidates
+    return batch, cells, total_bytes, queries, candidates, pairs_a, pairs_b
+
+
+def make_sharded_scorer(scope: DeviceScope, batch: S.PairBatch, fn):
+    """Shard the pair batch on the leading axis; scores stay sharded."""
+    B = batch.a.shape[0]
+    chips = scope.chips
+    Bp = -(-B // chips) * chips
+
+    def pad(x):
+        widths = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths)
+
+    sharded = S.PairBatch(
+        a=jax.device_put(pad(batch.a), scope.sharding(P(SHARD_AXIS, None))),
+        b=jax.device_put(pad(batch.b), scope.sharding(P(SHARD_AXIS, None))),
+        a_len=jax.device_put(pad(batch.a_len), scope.data_sharding),
+        b_len=jax.device_put(pad(batch.b_len), scope.data_sharding),
+    )
+    spec = (P(SHARD_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS))
+
+    def local(a, b, a_len, b_len):
+        return fn(S.PairBatch(a=a, b=b, a_len=a_len, b_len=b_len))
+
+    step = jax.jit(
+        shard_map(local, mesh=scope.mesh, in_specs=spec, out_specs=P(SHARD_AXIS), check_vma=False)
+    )
+    return lambda: step(sharded.a, sharded.b, sharded.a_len, sharded.b_len)
+
+
+def run_engine(ctx, name, batch, cells, total_bytes, fn, *, myers_tokens=None):
+    """One engine row per scope. ``myers_tokens`` = (a, b) token lists to
+    use the bit-parallel Myers kernel on the single-chip TPU row."""
+    for scope in ctx.scopes:
+        if scope.chips == 1:
+            if myers_tokens is not None and jax.default_backend() == "tpu":
+                from stringwars_tpu.ops.myers_pallas import myers_from_tokens, _myers
+
+                mb = myers_from_tokens(*myers_tokens)
+                routine = lambda: (
+                    sync(
+                        _myers(
+                            mb.bp, mb.b_cols, mb.blen, mb.lastw, mb.lastr, mb.alen,
+                            mb.n_words, mb.nbits, False,
+                        )
+                    ),
+                    WorkUnits(cells, total_bytes),
+                )[1]
+            else:
+                routine = lambda: (sync(fn(batch)), WorkUnits(cells, total_bytes))[1]
+        else:
+            step = make_sharded_scorer(scope, batch, fn)
+            routine = lambda step=step: (sync(step()), WorkUnits(cells, total_bytes))[1]
+        ctx.run(f"{name}{scope.name}", "cups", routine)
 
 
 def main() -> None:
@@ -48,13 +117,12 @@ def main() -> None:
         default_synthetic="dna-100b",
     )
     try:
-        batch, cells, total_bytes, queries, candidates = build_crossproduct(ctx)
+        batch, cells, total_bytes, queries, candidates, pairs_a, pairs_b = build_crossproduct(ctx)
     except ValueError as error:
         from stringwars_tpu.utils.report import report_skip
 
         report_skip("similarities/*", str(error))
         return
-    import sys
 
     print(
         f"cross-product {len(queries)}x{len(candidates)} pairs, width {batch.width}, "
@@ -63,11 +131,60 @@ def main() -> None:
     )
 
     ctx.group("uniform")
-    ctx.run(
-        "uniform/swtpu::levenshtein<1chip>",
-        "cups",
-        lambda: (sync(S.levenshtein(batch)), WorkUnits(cells, total_bytes))[1],
+    run_engine(
+        ctx,
+        "uniform/swtpu::levenshtein",
+        batch,
+        cells,
+        total_bytes,
+        S.levenshtein,
+        myers_tokens=(pairs_a, pairs_b),
     )
+
+    # UTF-8 codepoint distances (cells = codepoint cells).
+    try:
+        batch_u = S.pack_pairs_utf8(pairs_a, pairs_b)
+        cells_u = int(
+            (np.asarray(batch_u.a_len, np.int64) * np.asarray(batch_u.b_len, np.int64)).sum()
+        )
+        if jax.default_backend() == "tpu":
+            from stringwars_tpu.ops.myers_pallas import myers_from_codepoints, _myers
+            from stringwars_tpu.ops.utf8 import decode_codepoints
+
+            mbu = myers_from_codepoints(
+                [decode_codepoints(t) for t in pairs_a],
+                [decode_codepoints(t) for t in pairs_b],
+            )
+            utf8_routine = lambda: (
+                sync(
+                    _myers(
+                        mbu.bp, mbu.b_cols, mbu.blen, mbu.lastw, mbu.lastr, mbu.alen,
+                        mbu.n_words, mbu.nbits, False,
+                    )
+                ),
+                WorkUnits(cells_u, total_bytes),
+            )[1]
+        else:
+            utf8_routine = lambda: (
+                sync(S.levenshtein(batch_u)),
+                WorkUnits(cells_u, total_bytes),
+            )[1]
+        ctx.run("uniform-utf8/swtpu::levenshtein<1chip>", "cups", utf8_routine)
+    except Exception as error:  # noqa: BLE001 — skip-not-crash
+        from stringwars_tpu.utils.report import report_skip
+
+        report_skip("uniform-utf8/swtpu::levenshtein<1chip>", f"{type(error).__name__}: {error}")
+
+    # Banded variant, active when SWTPU_ERROR_BOUND is set (reference
+    # STRINGWARS_ERROR_BOUND semantics).
+    bound = get_env_parsed("ERROR_BOUND", 0)
+    if bound > 0:
+        band = int(bound)
+        ctx.run(
+            f"uniform-banded{band}/swtpu::levenshtein<1chip>",
+            "cups",
+            lambda: (sync(S.levenshtein_banded(batch, band)), WorkUnits(cells, total_bytes))[1],
+        )
 
     # Host baseline: stdlib-ish DP on the diagonal only (reference baselines
     # run one pair per call on the diagonal, similarities/bench.rs:746-753).
@@ -83,28 +200,12 @@ def main() -> None:
     ctx.run("uniform/python-dp-diagonal", "cups", host_routine)
 
     ctx.group("linear")
-    ctx.run(
-        "linear/swtpu::needleman_wunsch<1chip>",
-        "cups",
-        lambda: (sync(S.nw_score_linear(batch)), WorkUnits(cells, total_bytes))[1],
-    )
-    ctx.run(
-        "linear/swtpu::smith_waterman<1chip>",
-        "cups",
-        lambda: (sync(S.sw_score_linear(batch)), WorkUnits(cells, total_bytes))[1],
-    )
+    run_engine(ctx, "linear/swtpu::needleman_wunsch", batch, cells, total_bytes, S.nw_score_linear)
+    run_engine(ctx, "linear/swtpu::smith_waterman", batch, cells, total_bytes, S.sw_score_linear)
 
     ctx.group("affine")
-    ctx.run(
-        "affine/swtpu::needleman_wunsch<1chip>",
-        "cups",
-        lambda: (sync(S.nw_score_affine(batch)), WorkUnits(cells, total_bytes))[1],
-    )
-    ctx.run(
-        "affine/swtpu::smith_waterman<1chip>",
-        "cups",
-        lambda: (sync(S.sw_score_affine(batch)), WorkUnits(cells, total_bytes))[1],
-    )
+    run_engine(ctx, "affine/swtpu::needleman_wunsch", batch, cells, total_bytes, S.nw_score_affine)
+    run_engine(ctx, "affine/swtpu::smith_waterman", batch, cells, total_bytes, S.sw_score_affine)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,40 @@ def test_argsort_binary_bytes(rng):
     assert sorted_tokens(tape) == sorted(tokens)
 
 
+def test_argsort_long_tail_prefix_refinement(rng):
+    """Tokens longer than the device prefix sort exactly via tie refinement."""
+    long_a = b"x" * 200 + b"a"
+    long_b = b"x" * 200 + b"b"
+    long_c = b"x" * 200  # a strict prefix of the others
+    tokens = [long_b, b"m", long_a, b"x" * 150, long_c, b"a", long_a]
+    tape = Tape.from_tokens(tokens)
+    got = sorted_tokens(tape)
+    assert got == sorted(tokens)
+    # Stability across equal long tokens.
+    order = list(argsort_tape(tape, prefix_width=96))
+    a_positions = [i for i, t in enumerate(tokens) if t == long_a]
+    got_a = [i for i in order if tokens[i] == long_a]
+    assert got_a == a_positions
+
+
+def test_argsort_out_buffer():
+    tokens = [b"c", b"a", b"b"]
+    out = np.empty(3, dtype=np.intp)
+    res = argsort_tape(Tape.from_tokens(tokens), out=out)
+    assert res is out
+    assert list(out) == [1, 2, 0]
+
+
+def test_argsort_uncased_long_multibyte_tail():
+    """UTF-8 boundary clamping: multibyte chars at the prefix edge."""
+    base = ("é" * 60).encode()  # 120 bytes of 2-byte chars
+    tokens = [base + "Z".encode(), base + "a".encode(), "É".encode(), "e".encode()]
+    tape = Tape.from_tokens(tokens)
+    got = sorted_tokens(tape, uncased=True)
+    want = sorted(tokens, key=lambda b: [ord(c) for c in b.decode().casefold()])
+    assert got == want
+
+
 def test_argsort_uncased():
     tokens = ["Banana", "apple", "Cherry", "APPLE", "straße", "STRASSE", "zoo"]
     raw = [t.encode() for t in tokens]

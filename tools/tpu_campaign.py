@@ -59,8 +59,21 @@ def wait_healthy(max_wait_s: float = 240.0) -> bool:
 
 
 def bench(name, make, work_bytes, unit="GB/s", elements=None, iters=7):
-    """Register a lazy bench: ``make()`` -> zero-arg measured fn."""
+    """Register a lazy bench: ``make()`` -> zero-arg measured fn, or a
+    list/tuple of fns cycled per iteration (alternate staged inputs so the
+    tunnel server cannot serve a memoized result for a repeated identical
+    dispatch — same-input repeats have measured impossible TB/s rates)."""
     _BENCHES.append((name, make, work_bytes, unit, elements, iters))
+
+
+def _force_readback(out):
+    """block_until_ready + a host readback of small leaves: a value that
+    reaches host numpy must have been truly computed."""
+    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "size") and leaf.size * leaf.dtype.itemsize <= (16 << 20):
+            np.asarray(leaf)
+    return out
 
 
 def run_benches():
@@ -75,8 +88,11 @@ def run_benches():
     for name, make, work_bytes, unit, elements, iters in selected:
         try:
             t0 = time.perf_counter()
-            fn = make()
-            jax.block_until_ready(fn())
+            fns = make()
+            if not isinstance(fns, (list, tuple)):
+                fns = [fns]
+            for fn in fns:
+                _force_readback(fn())
             compile_s = time.perf_counter() - t0
             log(f"setup+compile {name} in {compile_s:.1f}s")
             if compile_only:
@@ -86,9 +102,9 @@ def run_benches():
                 # (poisoning every dispatch); wait for quiescence.
                 wait_healthy(max_wait)
             ts = []
-            for _ in range(iters):
+            for i in range(iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn())
+                _force_readback(fns[i % len(fns)]())
                 ts.append(time.perf_counter() - t0)
             sec = sorted(ts)[len(ts) // 2]
             value = (elements if elements else work_bytes) / sec / 1e9
@@ -124,10 +140,13 @@ def main():
 
         N = 256 << 20
         rows, chunk = _chunk_shape(N)
-        padded = np.zeros(rows * chunk, np.uint8)
-        padded[:N] = _flat(N)
-        dev = jax.device_put(padded)
-        return lambda: _bytesum_parts(dev, N)
+        fns = []
+        for seed in (0, 1):
+            padded = np.zeros(rows * chunk, np.uint8)
+            padded[:N] = _flat(N, seed)
+            dev = jax.device_put(padded)
+            fns.append(lambda dev=dev: _bytesum_parts(dev, N))
+        return fns
 
     bench("bytesum-256MB", mk_bytesum, 256 << 20)
 
@@ -146,9 +165,12 @@ def main():
         from stringwars_tpu.ops.find import byteset_count, pack_byteset
 
         n = 128 << 20
-        hay = jax.device_put(_flat(n))
         table = pack_byteset(b"0123456789")
-        return lambda: byteset_count(hay, table, n)
+        fns = []
+        for seed in (0, 1):
+            hay = jax.device_put(_flat(n, seed))
+            fns.append(lambda hay=hay: byteset_count(hay, table, n))
+        return fns
 
     bench("byteset-128MB", mk_byteset, 128 << 20)
 
@@ -247,23 +269,28 @@ def main():
         def make():
             from stringwars_tpu.ops.myers_pallas import MyersBatch, _myers
 
-            rng = np.random.default_rng(0)
-            a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
-            b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
-            lens = np.full(Bp, L, np.int32)
-            batch = MyersBatch(a, b, lens, lens)
-            jax.block_until_ready((batch.bp, batch.b_cols))
-            return lambda: _myers(
-                batch.bp,
-                batch.b_cols,
-                batch.blen,
-                batch.lastw,
-                batch.lastr,
-                batch.alen,
-                batch.n_words,
-                batch.nbits,
-                False,
-            )
+            fns = []
+            for seed in (0, 1):
+                rng = np.random.default_rng(seed)
+                a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
+                b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
+                lens = np.full(Bp, L, np.int32)
+                batch = MyersBatch(a, b, lens, lens)
+                jax.block_until_ready((batch.bp, batch.b_cols))
+                fns.append(
+                    lambda batch=batch: _myers(
+                        batch.bp,
+                        batch.b_cols,
+                        batch.blen,
+                        batch.lastw,
+                        batch.lastr,
+                        batch.alen,
+                        batch.n_words,
+                        batch.nbits,
+                        False,
+                    )
+                )
+            return fns
 
         return make
 
@@ -359,13 +386,16 @@ def main():
 
             n = 128 << 20
             staged = StagedHaystack(_flat(n))
-            rng = np.random.default_rng(3)
-            needles = [
-                pack_needle(rng.integers(97, 123, nbytes, dtype=np.uint8).tobytes(), cap)
-                for _ in range(n_needles)
-            ]
-            batch = NeedleBatch(staged, needles)
-            return lambda: find_count_cycle(staged, batch, interpret=False)
+            fns = []
+            for seed in (3, 4):
+                rng = np.random.default_rng(seed)
+                needles = [
+                    pack_needle(rng.integers(97, 123, nbytes, dtype=np.uint8).tobytes(), cap)
+                    for _ in range(n_needles)
+                ]
+                batch = NeedleBatch(staged, needles)
+                fns.append(lambda batch=batch: find_count_cycle(staged, batch, interpret=False))
+            return fns
 
         return make
 
@@ -389,10 +419,21 @@ def main():
 
     def mk_swh64():
         from stringwars_tpu.ops import hash as H
+        from stringwars_tpu.tape import PaddedTokens
 
-        lay, _ = _lines_layout()
         f = jax.jit(lambda l: H.swh64(l, 0))
-        return lambda: f(lay)
+        fns = []
+        for seed in (0, 1):
+            rng = np.random.default_rng(seed)
+            B, W = 131072, 1024
+            toks = PaddedTokens(
+                data=jax.device_put(rng.integers(0, 256, (B, W), dtype=np.uint8)),
+                lengths=jax.device_put(np.full(B, W - 7, np.int32)),
+                width=W,
+            )
+            lay = jax.block_until_ready(H.prepare(toks))
+            fns.append(lambda lay=lay: f(lay))
+        return fns
 
     bench("swh64-1KB-lines-128MB", mk_swh64, 131072 * 1024)
 
