@@ -508,11 +508,15 @@ def swh64(tokens: PaddedTokens | HashLayout, seed: int | jax.Array = 0) -> U64:
     [batch] (e.g. numpy uint64 [k, 1] for multiseed digests [k, batch]).
     """
     layout = _as_layout(tokens)
-    import numpy as np
+    if isinstance(seed, jax.Array) and seed.dtype == jnp.uint32:
+        # Traced u32 seed (jit-friendly): low limb only.
+        seed_lo, seed_hi = seed, jnp.uint32(0)
+    else:
+        import numpy as np
 
-    seed_np = np.asarray(seed, dtype=np.uint64)
-    seed_lo = jnp.asarray((seed_np & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    seed_hi = jnp.asarray((seed_np >> np.uint64(32)).astype(np.uint32))
+        seed_np = np.asarray(seed, dtype=np.uint64)
+        seed_lo = jnp.asarray((seed_np & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        seed_hi = jnp.asarray((seed_np >> np.uint64(32)).astype(np.uint32))
     lane_l = _xxh32_core(layout, seed_lo, jnp.uint32(0))
     lane_h = _xxh32_core(layout, seed_hi ^ _SWH_GOLD, _SWH_C)
     hi = _avalanche32(lane_h + _rotl32(lane_l, 16) * _P32_3)

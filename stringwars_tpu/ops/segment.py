@@ -244,8 +244,10 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     # WB3d: WSegSpace x WSegSpace (raw adjacency)
     no_break |= (prev_raw == W["WSegSpace"]) & (cls == W["WSegSpace"])
     # WB4: X (Extend|Format|ZWJ)* -> no break before ignorables
-    # (unless after sot / newline, handled via wb3ab and valid).
-    no_break |= ignore & (last_keep_before >= 0) & ~prev_is_nl
+    # (unless after sot / newline, handled via wb3ab and valid). X may
+    # itself be an ignorable (e.g. Extend at sot absorbs a following
+    # Extend — official WordBreakTest `÷ 0300 × 0300 ÷`).
+    no_break |= ignore & (idx > 0) & ~prev_is_nl
     # Rules on effective classes (current must be non-ignored).
     cur = jnp.where(ignore, jnp.int32(-2), cls)  # ignorables already decided
     pe, p2 = prev_eff, prev2_eff

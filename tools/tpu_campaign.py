@@ -140,13 +140,16 @@ def main():
 
         N = 256 << 20
         rows, chunk = _chunk_shape(N)
-        fns = []
-        for seed in (0, 1):
-            padded = np.zeros(rows * chunk, np.uint8)
-            padded[:N] = _flat(N, seed)
-            dev = jax.device_put(padded)
-            fns.append(lambda dev=dev: _bytesum_parts(dev, N))
-        return fns
+        padded = np.zeros(rows * chunk, np.uint8)
+        padded[:N] = _flat(N)
+        dev = jax.device_put(padded)
+        # Vary a tiny salt input per call: defeats the server's
+        # same-dispatch result memoization while the 256 MB buffer stays
+        # resident (re-uploading it per call measures the tunnel, not
+        # the chip).
+        f = jax.jit(lambda d, s: jax.tree_util.tree_map(lambda x: x + s, _bytesum_parts(d, N)))
+        salts = [jax.device_put(jnp.uint32(v)) for v in (0, 1)]
+        return [lambda s=s: f(dev, s) for s in salts]
 
     bench("bytesum-256MB", mk_bytesum, 256 << 20)
 
@@ -162,15 +165,18 @@ def main():
     bench("find-16B-needle-128MB", lambda: mk_find(16, 16), 128 << 20)
 
     def mk_byteset():
-        from stringwars_tpu.ops.find import byteset_count, pack_byteset
+        from stringwars_tpu.ops.find import _byteset_member, pack_byteset
 
         n = 128 << 20
-        table = pack_byteset(b"0123456789")
-        fns = []
-        for seed in (0, 1):
-            hay = jax.device_put(_flat(n, seed))
-            fns.append(lambda hay=hay: byteset_count(hay, table, n))
-        return fns
+        hay = jax.device_put(_flat(n))
+        # Alternate two (tiny) charset tables; the haystack stays resident.
+        f = jax.jit(
+            lambda h, t: jnp.sum(_byteset_member(h, t, n).astype(jnp.int32), dtype=jnp.int32)
+        )
+        tables_ = [
+            jax.device_put(pack_byteset(cs)) for cs in (b"0123456789", b"aeiouAEIOU")
+        ]
+        return [lambda t=t: f(hay, t) for t in tables_]
 
     bench("byteset-128MB", mk_byteset, 128 << 20)
 
@@ -419,21 +425,13 @@ def main():
 
     def mk_swh64():
         from stringwars_tpu.ops import hash as H
-        from stringwars_tpu.tape import PaddedTokens
 
-        f = jax.jit(lambda l: H.swh64(l, 0))
-        fns = []
-        for seed in (0, 1):
-            rng = np.random.default_rng(seed)
-            B, W = 131072, 1024
-            toks = PaddedTokens(
-                data=jax.device_put(rng.integers(0, 256, (B, W), dtype=np.uint8)),
-                lengths=jax.device_put(np.full(B, W - 7, np.int32)),
-                width=W,
-            )
-            lay = jax.block_until_ready(H.prepare(toks))
-            fns.append(lambda lay=lay: f(lay))
-        return fns
+        lay, _ = _lines_layout()
+        # The seed is a real (tiny) varying input: two seeds alternate so
+        # the layout buffers stay resident but no dispatch repeats.
+        f = jax.jit(H.swh64)
+        seeds = [jax.device_put(jnp.uint32(s)) for s in (0, 7)]
+        return [lambda s=s: f(lay, s) for s in seeds]
 
     bench("swh64-1KB-lines-128MB", mk_swh64, 131072 * 1024)
 
