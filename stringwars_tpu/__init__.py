@@ -23,6 +23,15 @@ import os as _os
 
 import jax as _jax
 
+# Honor JAX_PLATFORMS=cpu BEFORE any submodule can initialize the backend
+# (several ops modules build jnp constants at import time, which would
+# otherwise grab the tunneled TPU: the axon plugin ignores JAX_PLATFORMS,
+# so both the env var and the config update are needed — see
+# tests/conftest.py and suites/_common.py).
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    _os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    _jax.config.update("jax_platforms", "cpu")
+
 # Persistent XLA compilation cache: first compiles on the tunneled TPU can be
 # slow (minutes); caching makes them one-time per program shape. Opt out by
 # exporting JAX_COMPILATION_CACHE_DIR="".

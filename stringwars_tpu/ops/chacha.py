@@ -258,6 +258,66 @@ def aead_encrypt(key: bytes, nonce: bytes, plaintext, aad: bytes = b"") -> tuple
     return ct, tag
 
 
+def _hchacha20(key: bytes, nonce16: bytes) -> bytes:
+    """HChaCha20 subkey derivation (draft-irtf-cfrg-xchacha §2.2).
+
+    20 ChaCha rounds over (consts, key, nonce16) with NO final feed-forward
+    add; the subkey is words 0-3 and 12-15. Host-side u64 numpy scalars
+    (one 16-word state — not worth a device dispatch)."""
+    mask = np.uint64(0xFFFFFFFF)
+
+    def rotl(v, r):
+        return ((v << np.uint64(r)) | (v >> np.uint64(32 - r))) & mask
+
+    x = np.zeros(16, np.uint64)
+    x[:4] = [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574]
+    x[4:12] = np.frombuffer(key, "<u4").astype(np.uint64)
+    x[12:16] = np.frombuffer(nonce16, "<u4").astype(np.uint64)
+
+    def quarter(a, b, c, d):
+        x[a] = (x[a] + x[b]) & mask
+        x[d] = rotl(x[d] ^ x[a], 16)
+        x[c] = (x[c] + x[d]) & mask
+        x[b] = rotl(x[b] ^ x[c], 12)
+        x[a] = (x[a] + x[b]) & mask
+        x[d] = rotl(x[d] ^ x[a], 8)
+        x[c] = (x[c] + x[d]) & mask
+        x[b] = rotl(x[b] ^ x[c], 7)
+
+    for _ in range(10):
+        quarter(0, 4, 8, 12)
+        quarter(1, 5, 9, 13)
+        quarter(2, 6, 10, 14)
+        quarter(3, 7, 11, 15)
+        quarter(0, 5, 10, 15)
+        quarter(1, 6, 11, 12)
+        quarter(2, 7, 8, 13)
+        quarter(3, 4, 9, 14)
+    out = np.concatenate([x[:4], x[12:16]]).astype(np.uint32)
+    return out.astype("<u4").tobytes()
+
+
+def xchacha_aead_encrypt(
+    key: bytes, nonce24: bytes, plaintext, aad: bytes = b""
+) -> tuple[np.ndarray, bytes]:
+    """XChaCha20-Poly1305 seal: 192-bit nonce via HChaCha20 subkey (the
+    reference's third AEAD, encryption/bench.rs:87-125)."""
+    if len(key) != 32 or len(nonce24) != 24:
+        raise ValueError("key must be 32 bytes, nonce 24 bytes")
+    subkey = _hchacha20(key, nonce24[:16])
+    return aead_encrypt(subkey, bytes(4) + nonce24[16:], plaintext, aad)
+
+
+def xchacha_aead_decrypt(
+    key: bytes, nonce24: bytes, ciphertext, tag: bytes, aad: bytes = b""
+) -> np.ndarray:
+    """XChaCha20-Poly1305 open: raises on tag mismatch."""
+    if len(key) != 32 or len(nonce24) != 24:
+        raise ValueError("key must be 32 bytes, nonce 24 bytes")
+    subkey = _hchacha20(key, nonce24[:16])
+    return aead_decrypt(subkey, bytes(4) + nonce24[16:], ciphertext, tag, aad)
+
+
 def aead_decrypt(key: bytes, nonce: bytes, ciphertext, tag: bytes, aad: bytes = b"") -> np.ndarray:
     """ChaCha20-Poly1305 open: returns plaintext; raises on tag mismatch."""
     ct = np.frombuffer(ciphertext, np.uint8) if isinstance(ciphertext, (bytes, bytearray)) else np.asarray(ciphertext, np.uint8)

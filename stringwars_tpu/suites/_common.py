@@ -61,7 +61,17 @@ class SuiteContext:
             if datasets.get_env_bool("DEBUG_TRACEBACKS"):
                 traceback.print_exc()
             return
-        stats.report(name, unit)
+        stats.report(name, unit, roofline_bytes_per_second=self._roofline(name))
+
+    def _roofline(self, name: str) -> float | None:
+        """Per-chip HBM roofline for on-device ``swtpu::`` rows — the TPU
+        replacement for cyc/B+IPC (reference ``utils.rs:672-680``; SURVEY §5
+        tracing). Host baselines and CPU-backend runs report no SoL column."""
+        if "swtpu::" not in name or jax.default_backend() != "tpu":
+            return None
+        from stringwars_tpu.utils.profiler import HBM_ROOFLINE_GBPS
+
+        return HBM_ROOFLINE_GBPS * 1e9
 
 
 def setup_suite(

@@ -1,32 +1,42 @@
 """Encryption suite: AEAD keygen / encrypt / decrypt (reference
 ``encryption/bench.rs``, defaults 5 s + 10 s, lines tokens).
 
-On-device cipher is ChaCha20-Poly1305 (TPUs have no AES units; SURVEY.md
-K13); AES-256-GCM runs as a host baseline via the ``cryptography``
-library, mirroring the reference's OpenSSL rows. Nonces are counter-derived
-96-bit values (reference ``encryption/bench.rs:87-125``); decryption
+Cipher registry of (label, nonce_len, encrypt, decrypt) entries — the
+reference's registry-of-triples shape (``encryption/bench.py:104-156``)
+sweeping three AEADs (``encryption/bench.rs:87-125``): on-device
+ChaCha20-Poly1305 and XChaCha20-Poly1305 (TPUs have no AES units;
+SURVEY.md K13), plus AES-256-GCM as a host baseline via the
+``cryptography`` library (the reference's OpenSSL rows). Nonces are
+counter-derived (reference ``encryption/bench.rs:87-125``); decryption
 pre-encrypts the corpus once and reports plaintext-byte throughput
 (``encryption/bench.rs:362-367``).
 """
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 
 from stringwars_tpu.ops import chacha as CC
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
-from stringwars_tpu.utils.harness import WorkUnits, now_ns, paced_items
+from stringwars_tpu.utils.harness import WorkUnits
 
 
-def counter_nonce(i: int) -> bytes:
-    return i.to_bytes(12, "little")
+def counter_nonce(i: int, size: int = 12) -> bytes:
+    return i.to_bytes(size, "little")
+
+
+def device_ciphers() -> list[tuple[str, int, object, object]]:
+    """(label, nonce_len, encrypt(key, nonce, pt) -> (ct, tag),
+    decrypt(key, nonce, ct, tag) -> pt) for the on-device AEADs."""
+    return [
+        ("swtpu::chacha20poly1305", 12, CC.aead_encrypt, CC.aead_decrypt),
+        ("swtpu::xchacha20poly1305", 24, CC.xchacha_aead_encrypt, CC.xchacha_aead_decrypt),
+    ]
 
 
 def main() -> None:
     ctx = setup_suite(
-        "AEAD throughput (ChaCha20-Poly1305 on-device; AES-GCM host baseline)",
+        "AEAD throughput (ChaCha20/XChaCha20-Poly1305 on-device; AES-GCM host)",
         default_tokens="lines",
         default_warmup=5.0,
         default_time=10.0,
@@ -34,7 +44,9 @@ def main() -> None:
     )
     key = bytes(range(32))
     tokens = [t for t in ctx.tape.to_list() if t][:4096]
-    total = sum(map(len, tokens))
+    sample = tokens[:64]
+    sample_bytes = sum(map(len, sample))
+    corpus = np.asarray(ctx.tape.data)[: ctx.tape.total_bytes]
 
     ctx.group("keygen")
     from stringwars_tpu.ops.memops import fill_random
@@ -49,65 +61,58 @@ def main() -> None:
     ctx.run("keygen/swtpu::fill_random", "bytes", keygen)
 
     ctx.group("encryption")
-    counter = itertools.count()
+    for label, nlen, encrypt, _decrypt in device_ciphers():
+        # Per-token AEAD round-trips are dispatch-bound on an accelerator;
+        # the corpus-level row below is the TPU-shaped measurement.
+        def encrypt_sample(encrypt=encrypt, nlen=nlen) -> WorkUnits:
+            for i, token in enumerate(sample):
+                encrypt(key, counter_nonce(i, nlen), token)
+            return WorkUnits(elements=len(sample), bytes=sample_bytes)
 
-    def encrypt_all() -> WorkUnits:
-        for i, token in enumerate(tokens):
-            CC.aead_encrypt(key, counter_nonce(i), token)
-        return WorkUnits(elements=len(tokens), bytes=total)
+        ctx.run(f"encryption/{label}<1chip>", "bytes", encrypt_sample)
 
-    # Per-token AEAD round-trips are dispatch-bound on an accelerator; the
-    # corpus-level row below is the TPU-shaped measurement.
-    sample = tokens[:64]
-    sample_bytes = sum(map(len, sample))
+        def encrypt_corpus(encrypt=encrypt, nlen=nlen) -> WorkUnits:
+            encrypt(key, counter_nonce(0, nlen), corpus)
+            return WorkUnits(elements=1, bytes=corpus.shape[0])
 
-    def encrypt_sample() -> WorkUnits:
-        for i, token in enumerate(sample):
-            CC.aead_encrypt(key, counter_nonce(i), token)
-        return WorkUnits(elements=len(sample), bytes=sample_bytes)
-
-    ctx.run("encryption/swtpu::chacha20poly1305<1chip>", "bytes", encrypt_sample)
-
-    corpus = np.asarray(ctx.tape.data)[: ctx.tape.total_bytes]
-
-    def encrypt_corpus() -> WorkUnits:
-        CC.aead_encrypt(key, counter_nonce(0), corpus)
-        return WorkUnits(elements=1, bytes=corpus.shape[0])
-
-    ctx.run("encryption/swtpu::chacha-corpus<1chip>", "bytes", encrypt_corpus)
+        ctx.run(f"encryption/{label}-corpus<1chip>", "bytes", encrypt_corpus)
 
     try:
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM, ChaCha20Poly1305
 
-        aes = AESGCM(key)
-        cc_host = ChaCha20Poly1305(key)
+        host_ciphers = [
+            ("cryptography.AESGCM", AESGCM(key)),
+            ("cryptography.ChaCha20Poly1305", ChaCha20Poly1305(key)),
+        ]
+        for label, cipher in host_ciphers:
 
-        def aes_routine() -> WorkUnits:
-            for i, token in enumerate(sample):
-                aes.encrypt(counter_nonce(i), token, None)
-            return WorkUnits(elements=len(sample), bytes=sample_bytes)
+            def host_routine(cipher=cipher) -> WorkUnits:
+                for i, token in enumerate(sample):
+                    cipher.encrypt(counter_nonce(i), token, None)
+                return WorkUnits(elements=len(sample), bytes=sample_bytes)
 
-        ctx.run("encryption/cryptography.AESGCM", "bytes", aes_routine)
-
-        def cc_host_routine() -> WorkUnits:
-            for i, token in enumerate(sample):
-                cc_host.encrypt(counter_nonce(i), token, None)
-            return WorkUnits(elements=len(sample), bytes=sample_bytes)
-
-        ctx.run("encryption/cryptography.ChaCha20Poly1305", "bytes", cc_host_routine)
+            ctx.run(f"encryption/{label}", "bytes", host_routine)
     except ImportError:
         from stringwars_tpu.utils.report import report_skip
 
         report_skip("encryption/cryptography.*", "cryptography not installed")
 
     ctx.group("decryption")
-    ct, tag = CC.aead_encrypt(key, counter_nonce(0), corpus)
+    for label, nlen, encrypt, decrypt in device_ciphers():
+        nonce = counter_nonce(0, nlen)
+        try:
+            ct, tag = encrypt(key, nonce, corpus)
+        except Exception as error:  # noqa: BLE001 — skip-not-crash
+            from stringwars_tpu.utils.report import report_skip
 
-    def decrypt_corpus() -> WorkUnits:
-        CC.aead_decrypt(key, counter_nonce(0), ct, tag)
-        return WorkUnits(elements=1, bytes=corpus.shape[0])
+            report_skip(f"decryption/{label}-corpus<1chip>", str(error))
+            continue
 
-    ctx.run("decryption/swtpu::chacha-corpus<1chip>", "bytes", decrypt_corpus)
+        def decrypt_corpus(decrypt=decrypt, nonce=nonce, ct=ct, tag=tag) -> WorkUnits:
+            decrypt(key, nonce, ct, tag)
+            return WorkUnits(elements=1, bytes=corpus.shape[0])
+
+        ctx.run(f"decryption/{label}-corpus<1chip>", "bytes", decrypt_corpus)
 
 
 if __name__ == "__main__":

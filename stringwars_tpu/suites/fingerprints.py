@@ -47,11 +47,36 @@ def main() -> None:
         ctx.group(f"minhash/ndim_{ndim}")
         fn = jax.jit(lambda t, d=ndim: FP.fingerprint(t, ndim=d))
 
-        def routine() -> WorkUnits:
-            sync(fn(tokens))
-            return WorkUnits(elements=ndim * total_bytes, bytes=total_bytes)
+        # One row per scope (reference 1cpu/Ncpu/1gpu sweep,
+        # fingerprints/bench.rs:342-371): docs are batch-parallel, so the
+        # <Nchip> row shards the token batch on the leading axis and lets
+        # the partitioner run each shard's fingerprints locally.
+        for scope in ctx.scopes:
+            if scope.chips == 1:
+                staged = tokens
+            else:
+                from jax.sharding import PartitionSpec as P
 
-        ctx.run(f"minhash/ndim_{ndim}/swtpu::fingerprint<1chip>", "hashes", routine)
+                from stringwars_tpu.parallel.mesh import SHARD_AXIS
+
+                B = int(np.asarray(tokens.lengths).shape[0])
+                Bp = -(-B // scope.chips) * scope.chips
+                data = np.asarray(tokens.data)
+                lengths = np.asarray(tokens.lengths)
+                if Bp != B:
+                    data = np.pad(data, ((0, Bp - B), (0, 0)))
+                    lengths = np.pad(lengths, (0, Bp - B))
+                staged = PaddedTokens(
+                    data=jax.device_put(data, scope.sharding(P(SHARD_AXIS, None))),
+                    lengths=jax.device_put(lengths, scope.data_sharding),
+                    width=tokens.width,
+                )
+
+            def routine(staged=staged) -> WorkUnits:
+                sync(fn(staged))
+                return WorkUnits(elements=ndim * total_bytes, bytes=total_bytes)
+
+            ctx.run(f"minhash/ndim_{ndim}/swtpu::fingerprint{scope.name}", "hashes", routine)
 
         mh, _ = fn(tokens)
         mh_np = np.asarray(mh)

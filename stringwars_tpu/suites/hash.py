@@ -187,6 +187,35 @@ def main() -> None:
 
     ctx.run("checksum/swtpu::bytesum<1chip>", "bytes", bytesum_routine)
 
+    # Device SHA-256: per-token digests over bucketed layouts (reference
+    # hashes one token per call, hash/bench.rs:298-389).
+    from stringwars_tpu.ops.sha256 import prepare_sha256, sha256
+
+    def make_sha_routine():
+        sha_layouts = []
+        sha_elements = 0
+        sha_bytes = 0
+        for bucket in bucket_by_length(ctx.tape, BUCKET_EDGES):
+            sha_layouts.append(jax.block_until_ready(prepare_sha256(bucket)))
+            sha_elements += bucket.count
+            sha_bytes += int(np.asarray(bucket.lengths).sum())
+        jitted_sha = jax.jit(sha256)
+
+        def routine() -> WorkUnits:
+            sync([jitted_sha(lay) for lay in sha_layouts])
+            return WorkUnits(elements=sha_elements, bytes=sha_bytes)
+
+        return routine
+
+    try:
+        sha_routine = make_sha_routine()
+    except Exception as error:  # noqa: BLE001
+        from stringwars_tpu.utils.report import report_skip
+
+        report_skip("checksum/swtpu::sha256<1chip>", str(error))
+    else:
+        ctx.run("checksum/swtpu::sha256<1chip>", "bytes", sha_routine)
+
     import hashlib
     import zlib
 

@@ -25,14 +25,32 @@ def main() -> None:
     data = jnp.asarray(np.asarray(ctx.tape.data)[:n])
     lut = jnp.asarray(M.invert_case_lut())
 
+    # Byte-sharded copies per scope (reference scope sweeps; these ops are
+    # elementwise so pjit partitions them with zero communication — the
+    # <Nchip> rows measure pure per-chip-bandwidth scaling).
+    def staged_for(scope):
+        if scope.chips == 1:
+            return data, n
+        from jax.sharding import PartitionSpec as P
+
+        from stringwars_tpu.parallel.mesh import SHARD_AXIS
+
+        pad = (-n) % scope.chips
+        arr = np.asarray(ctx.tape.data)[:n]
+        if pad:
+            arr = np.pad(arr, (0, pad))
+        return jax.device_put(arr, scope.sharding(P(SHARD_AXIS))), n + pad
+
     ctx.group("lookup-table")
     translate = jax.jit(M.lut_translate)
-    ctx.run(
-        "lookup-table/swtpu::lut_translate<1chip>",
-        "bytes",
-        lambda: (sync(translate(data, lut)), WorkUnits(1, n))[1],
-    )
     planes = jax.jit(M.lut_translate_planes)
+    for scope in ctx.scopes:
+        sdata, sn = staged_for(scope)
+        ctx.run(
+            f"lookup-table/swtpu::lut_translate{scope.name}",
+            "bytes",
+            lambda sdata=sdata, sn=sn: (sync(translate(sdata, lut)), WorkUnits(1, sn))[1],
+        )
     ctx.run(
         "lookup-table/swtpu::lut_planes<1chip>",
         "bytes",
@@ -79,11 +97,13 @@ def main() -> None:
 
     ctx.group("memcpy")
     copy = jax.jit(M.copy)
-    ctx.run(
-        "memcpy/swtpu::copy<1chip>",
-        "bytes",
-        lambda: (sync(copy(data)), WorkUnits(1, n))[1],
-    )
+    for scope in ctx.scopes:
+        sdata, sn = staged_for(scope)
+        ctx.run(
+            f"memcpy/swtpu::copy{scope.name}",
+            "bytes",
+            lambda sdata=sdata, sn=sn: (sync(copy(sdata)), WorkUnits(1, sn))[1],
+        )
 
     ctx.group("memmove")
     move = jax.jit(M.move, static_argnames=("shift",))

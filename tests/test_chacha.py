@@ -56,3 +56,43 @@ def test_aead_roundtrip_and_tamper(rng):
     bad[0] ^= 1
     with pytest.raises(ValueError):
         aead_decrypt(key, nonce, ct, bytes(bad))
+
+
+def test_hchacha20_regression_pin():
+    # Subkey derivation pin for the draft-irtf-cfrg-xchacha §2.2.1 inputs.
+    # The value is cross-validated end-to-end by the §A.3 AEAD vector below
+    # (ciphertext + tag byte-exact), which any subkey error would scramble.
+    from stringwars_tpu.ops.chacha import _hchacha20
+
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    nonce16 = bytes.fromhex("000000090000004a0000000031415927")
+    assert _hchacha20(key, nonce16) == bytes.fromhex(
+        "82413b4227b27bfed30e42508a877d73a0f9e4d58a74a853c12ec41326d3ecdc"
+    )
+
+
+def test_xchacha20poly1305_draft_vector():
+    # draft-irtf-cfrg-xchacha-03 §A.3
+    from stringwars_tpu.ops.chacha import xchacha_aead_decrypt, xchacha_aead_encrypt
+
+    pt = (
+        b"Ladies and Gentlemen of the class of '99: If I could offer you "
+        b"only one tip for the future, sunscreen would be it."
+    )
+    aad = bytes.fromhex("50515253c0c1c2c3c4c5c6c7")
+    key = bytes.fromhex(
+        "808182838485868788898a8b8c8d8e8f909192939495969798999a9b9c9d9e9f"
+    )
+    nonce24 = bytes.fromhex("404142434445464748494a4b4c4d4e4f5051525354555657")
+    ct, tag = xchacha_aead_encrypt(key, nonce24, pt, aad)
+    assert ct.tobytes() == bytes.fromhex(
+        "bd6d179d3e83d43b9576579493c0e939572a1700252bfaccbed2902c21396cbb"
+        "731c7f1b0b4aa6440bf3a82f4eda7e39ae64c6708c54c216cb96b72e1213b452"
+        "2f8c9ba40db5d945b11b69b982c1bb9e3f3fac2bc369488f76b2383565d3fff9"
+        "21f9664c97637da9768812f615c68b13b52e"
+    )
+    assert tag == bytes.fromhex("c0875924c1c7987947deafd8780acf49")
+    out = xchacha_aead_decrypt(key, nonce24, ct, tag, aad)
+    assert out.tobytes() == pt
