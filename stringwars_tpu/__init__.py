@@ -32,6 +32,14 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     _os.environ["JAX_PLATFORM_NAME"] = "cpu"
     _jax.config.update("jax_platforms", "cpu")
 
+# Multi-host: join the jax.distributed process group when SWTPU_COORDINATOR
+# is set. This must happen before ANY backend touch, and importing this
+# package is the first thing every suite/test does — so it lives here.
+if _os.environ.get("SWTPU_COORDINATOR"):
+    from stringwars_tpu.parallel.distributed import maybe_initialize as _maybe_init
+
+    _maybe_init()
+
 # Persistent XLA compilation cache: first compiles on the tunneled TPU can be
 # slow (minutes); caching makes them one-time per program shape. Opt out by
 # exporting JAX_COMPILATION_CACHE_DIR="".

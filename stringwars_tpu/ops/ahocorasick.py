@@ -44,6 +44,10 @@ class Automaton:
         self.states = delta.shape[0]
         self.delta_flat = jnp.asarray(delta.reshape(-1))
         self.out_count = jnp.asarray(out_count)
+        # MXU-path staging: transition table transposed to [256, S] f32 and
+        # the per-state output counts as f32 (see _ac_scan_mxu).
+        self.delta_t = jnp.asarray(delta.T.astype(np.float32))
+        self.out_count_f = jnp.asarray(out_count.astype(np.float32))
 
     def count_host(self, data: np.ndarray) -> int:
         """Sequential native scan (oracle / baseline variant)."""
@@ -74,22 +78,95 @@ def _ac_scan(delta_flat, out_count, rows, gpos0, n: int, chunk: int):
     return jnp.sum(counts, dtype=jnp.int32)
 
 
-def ac_count(automaton: Automaton, hay, n: int | None = None, *, chunk: int = 4096) -> int:
-    """Total occurrences of all patterns in ``hay[:n]`` (device scan)."""
+@functools.partial(jax.jit, static_argnames=("n", "chunk"))
+def _ac_scan_mxu(delta_t, out_count_f, rows, gpos0, n: int, chunk: int):
+    """Gather-free DFA scan: each step is one MXU matmul.
+
+    TPU gathers serialize (the ``_ac_scan`` path runs ~0.03 GB/s); the MXU
+    doesn't. ``delta[state, byte]`` is bilinear in (onehot(state),
+    onehot(byte)), so per position: ``A = onehot(byte) @ delta.T`` on the
+    MXU gives every lane's candidate next-state for *its own* byte per
+    current-state column, and the actual next state / output count fall out
+    of elementwise one-hot selects on the VPU. All values stay < 2^24 so
+    f32 accumulation is exact.
+
+    ``delta_t``: f32 [256, S_pad]; ``out_count_f``: f32 [S_pad].
+    """
+    c_count, row_w = rows.shape
+    overlap = row_w - chunk
+    s_pad = delta_t.shape[1]
+    s_ids = jnp.arange(s_pad, dtype=jnp.int32)[None, :]
+    b_ids = jnp.arange(256, dtype=jnp.int32)[None, :]
+    states = jnp.zeros((c_count,), jnp.int32)
+    counts = jnp.zeros((c_count,), jnp.float32)
+
+    def body(carry, p):
+        states, counts = carry
+        byte = rows[:, p].astype(jnp.int32)
+        oh_b = (byte[:, None] == b_ids).astype(jnp.float32)  # [C, 256]
+        # HIGHEST: one-hot rows select exact table entries; default-precision
+        # bf16 passes would round state ids above 256.
+        cand = jax.lax.dot(oh_b, delta_t, precision=jax.lax.Precision.HIGHEST)
+        oh_s = (states[:, None] == s_ids).astype(jnp.float32)
+        nxt = jnp.sum(cand * oh_s, axis=1).astype(jnp.int32)
+        gpos = gpos0 + p
+        valid = (gpos >= 0) & (gpos < n)
+        states = jnp.where(valid, nxt, states)
+        oh_n = (states[:, None] == s_ids).astype(jnp.float32)
+        hits = jnp.sum(oh_n * out_count_f[None, :], axis=1)
+        counts = counts + jnp.where(valid & (p >= overlap), hits, 0.0)
+        return (states, counts), None
+
+    (states, counts), _ = jax.lax.scan(body, (states, counts), jnp.arange(row_w))
+    return jnp.sum(counts).astype(jnp.int32)
+
+
+def ac_count(
+    automaton: Automaton,
+    hay,
+    n: int | None = None,
+    *,
+    chunk: int | None = None,
+    use_mxu: bool | None = None,
+) -> int:
+    """Total occurrences of all patterns in ``hay[:n]`` (device scan).
+
+    ``use_mxu`` selects the matmul scan (default on the TPU backend, where
+    gathers serialize); the gather chain remains the CPU/interpret path.
+    ``chunk`` defaults to ~8192 lanes (MXU) / 4096 bytes (gather).
+    """
     hay_np = np.asarray(hay, np.uint8)
     n = int(hay_np.shape[0]) if n is None else n
-    overlap = automaton.max_len - 1
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    rows_dev, gpos0, chunk = stage_rows(hay_np, n, automaton.max_len, chunk, use_mxu)
+    return int(ac_count_staged(automaton, rows_dev, gpos0, n, chunk, use_mxu))
+
+
+def stage_rows(
+    hay_np: np.ndarray, n: int, max_len: int, chunk: int | None, use_mxu: bool
+) -> tuple[jax.Array, jax.Array, int]:
+    """Device-stage the chunked haystack rows once (benches reuse them)."""
+    if chunk is None:
+        # MXU path: scan steps are matmul-latency bound — target ~8192 lanes
+        # so each step's [C, 256] x [256, S] product saturates the array.
+        chunk = max(64, (n + 8191) // 8192) if use_mxu else 4096
+    overlap = max_len - 1
     c_count = max((n + chunk - 1) // chunk, 1)
     buf = np.zeros(c_count * chunk + overlap, np.uint8)
     buf[overlap : overlap + n] = hay_np[:n]
     rows = np.lib.stride_tricks.sliding_window_view(buf, chunk + overlap)[::chunk][:c_count]
-    gpos0 = np.arange(c_count, dtype=np.int32) * chunk - overlap
-    total = _ac_scan(
-        automaton.delta_flat,
-        automaton.out_count,
-        jnp.asarray(np.ascontiguousarray(rows)),
-        jnp.asarray(gpos0),
-        n,
-        chunk,
-    )
-    return int(total)
+    rows_dev = jnp.asarray(np.ascontiguousarray(rows))
+    gpos0 = jnp.asarray(np.arange(c_count, dtype=np.int32) * chunk - overlap)
+    return rows_dev, gpos0, chunk
+
+
+def ac_count_staged(
+    automaton: Automaton, rows_dev, gpos0, n: int, chunk: int, use_mxu: bool
+) -> jax.Array:
+    """Scan pre-staged rows (stage_rows); returns a device scalar count."""
+    if use_mxu:
+        return _ac_scan_mxu(
+            automaton.delta_t, automaton.out_count_f, rows_dev, gpos0, n, chunk
+        )
+    return _ac_scan(automaton.delta_flat, automaton.out_count, rows_dev, gpos0, n, chunk)

@@ -37,8 +37,15 @@ def log(msg):
 
 
 def wait_healthy(max_wait_s: float = 240.0) -> bool:
+    """Healthy = sub-ms dispatch AND decent bulk-upload bandwidth.
+
+    A server-side compile churn (e.g. an orphaned Pallas compile from a
+    killed process) can leave tiny dispatches fast while 100+ MB uploads
+    crawl at <1 MB/s — the dispatch-only probe used to declare healthy and
+    then the bench's device_put stalled for 10 minutes."""
     x = jax.device_put(np.arange(131072, dtype=np.uint32))
     f = jax.jit(lambda v: v + jnp.uint32(1))
+    probe = np.zeros(16 << 20, np.uint8)
     deadline = time.time() + max_wait_s
     while True:
         jax.block_until_ready(f(x))
@@ -48,13 +55,16 @@ def wait_healthy(max_wait_s: float = 240.0) -> bool:
             jax.block_until_ready(f(x))
             samples.append(time.perf_counter() - t0)
         ms = sorted(samples)[5] * 1e3
-        if ms < 1.0:
-            log(f"device healthy (dispatch {ms:.2f} ms)")
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(probe))
+        up_mbps = 16.0 / max(time.perf_counter() - t0, 1e-9)
+        if ms < 1.0 and up_mbps > 50.0:
+            log(f"device healthy (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s)")
             return True
         if time.time() >= deadline:
-            log(f"device still degraded (dispatch {ms:.2f} ms); proceeding")
+            log(f"device still degraded (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s); proceeding")
             return False
-        log(f"device degraded (dispatch {ms:.2f} ms); waiting 60s...")
+        log(f"device degraded (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s); waiting 60s...")
         time.sleep(60)
 
 
@@ -351,9 +361,33 @@ def main():
 
         a2 = Automaton([b"the", b"and", b"tion", b"ab"])
         hay_small = _flat(16 << 20)
-        return lambda: jnp.asarray(ac_count(a2, hay_small, chunk=1024))
+        return lambda: jnp.asarray(ac_count(a2, hay_small, chunk=1024, use_mxu=False))
 
     bench("ac-scan-16MB", mk_ac, 16 << 20)
+
+    def mk_ac_mxu(mb=64):
+        def make():
+            from stringwars_tpu.ops.ahocorasick import Automaton, ac_count_staged, stage_rows
+
+            n = mb << 20
+            hay = _flat(n)
+            # Two automata of identical max_len alternate over one staged
+            # haystack (tiny tables vary per call; the 64 MB rows stay
+            # resident — same memoization-defeat as the other benches).
+            autos = [
+                Automaton([b"the", b"and", b"tion", b"abcd"]),
+                Automaton([b"quiz", b"ber", b"ion", b"za"]),
+            ]
+            rows_dev, gpos0, chunk = stage_rows(hay, n, 4, None, True)
+            jax.block_until_ready(rows_dev)
+            return [
+                lambda a=a: ac_count_staged(a, rows_dev, gpos0, n, chunk, True)
+                for a in autos
+            ]
+
+        return make
+
+    bench("ac-mxu-64MB", mk_ac_mxu(), 64 << 20)
 
     def mk_chacha():
         from stringwars_tpu.ops.chacha import _xor_keystream_u32, _key_words
@@ -444,6 +478,44 @@ def main():
         return lambda: f(lay)
 
     bench("swh64-multiseed16-1KB", mk_swh64_multiseed, 131072 * 1024)
+
+    def mk_argsort():
+        from stringwars_tpu.ops.sort import _byte_columns, _lsd_argsort
+
+        B, W = 1 << 21, 15  # 2M short words, 5 packed columns
+        fns = []
+        for seed in (0, 1):
+            rng = np.random.default_rng(seed)
+            data = rng.integers(97, 123, (B, W), dtype=np.uint8)
+            lengths = rng.integers(3, W + 1, B, dtype=np.int32)
+            cols = jax.block_until_ready(
+                _byte_columns(jnp.asarray(data), jnp.asarray(lengths))
+            )
+            fns.append(lambda cols=cols: _lsd_argsort(cols))
+        return fns
+
+    n_cmp = (1 << 21) * 21  # n*log2(n) comparisons (sequence/bench.rs:79)
+    bench("argsort-2M-words", mk_argsort, (1 << 21) * 15, unit="Gcmp/s", elements=n_cmp)
+
+    def mk_sha256():
+        from stringwars_tpu.ops.sha256 import prepare_sha256, sha256
+        from stringwars_tpu.tape import PaddedTokens
+
+        f = jax.jit(sha256)
+        fns = []
+        for seed in (0, 1):
+            rng = np.random.default_rng(seed)
+            B, W = 131072, 1024
+            toks = PaddedTokens(
+                data=rng.integers(0, 256, (B, W), dtype=np.uint8),
+                lengths=np.full(B, W - 9, np.int32),
+                width=W,
+            )
+            lay = jax.block_until_ready(prepare_sha256(toks))
+            fns.append(lambda lay=lay: f(lay))
+        return fns
+
+    bench("sha256-1KB-lines-128MB", mk_sha256, 131072 * 1024)
 
     run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
