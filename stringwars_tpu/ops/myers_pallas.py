@@ -108,13 +108,85 @@ def _make_kernel(n_words: int, nbits: int, n_js: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_words", "nbits", "interpret"))
-def _myers(bp, b_cols, blen, lastw, lastr, alen, n_words: int, nbits: int, interpret: bool = False):
+def _make_kernel_loop(n_words: int, nbits: int, n_js: int):
+    """Loop-form twin of ``_make_kernel``: ``fori_loop`` over columns and
+    words with dynamic VMEM indexing instead of a ~4000-op full unroll.
+
+    Mosaic compile time scales with kernel body size — the unrolled form
+    takes tens of minutes server-side for wide shapes, which is worse than
+    the few % of runtime the loop counters cost."""
+
+    def kernel(bp_ref, b_ref, blen_ref, lastw_ref, lastr_ref, alen_ref, out_ref, vp_ref, vn_ref, score_ref):
+        js = pl.program_id(1)
+
+        @pl.when(js == 0)
+        def _():
+            vp_ref[...] = jnp.full((n_words, SUB, LANES), 0xFFFFFFFF, jnp.uint32)
+            vn_ref[...] = jnp.zeros((n_words, SUB, LANES), jnp.uint32)
+            score_ref[...] = alen_ref[0]
+
+        blen = blen_ref[0]
+        lastw = lastw_ref[0]
+        lastr = lastr_ref[0].astype(jnp.uint32)
+        one = jnp.uint32(1)
+        zero = jnp.uint32(0)
+
+        def col_body(jc, _):
+            j = js * JC + jc
+            c = b_ref[0, jc]  # [SUB, LANES] int32
+            in_text = j < blen
+
+            def word_body(w, carry):
+                hp_in, hn_in, score = carry
+                eq = jnp.full((SUB, LANES), 0xFFFFFFFF, jnp.uint32)
+                for bit in range(nbits - 1):
+                    bp = bp_ref[0, bit, w]
+                    eq &= jnp.where(((c >> bit) & 1) == 1, bp, ~bp)
+                eq &= ~bp_ref[0, nbits - 1, w]  # pad sentinel never matches
+                vp = vp_ref[w]
+                vn = vn_ref[w]
+                xv = eq | vn
+                eq2 = eq | hn_in
+                x = eq2 & vp
+                xh = ((x + vp) ^ vp) | eq2
+                ph = vn | ~(xh | vp)
+                mh = vp & xh
+                upd = (lastw == w) & in_text
+                delta = ((ph >> lastr) & one).astype(jnp.int32) - (
+                    (mh >> lastr) & one
+                ).astype(jnp.int32)
+                score = score + jnp.where(upd, delta, 0)
+                phs = (ph << 1) | hp_in
+                mhs = (mh << 1) | hn_in
+                vp_ref[w] = mhs | ~(xv | phs)
+                vn_ref[w] = phs & xv
+                return ph >> 31, mh >> 31, score
+
+            hp0 = jnp.full((SUB, LANES), one)
+            hn0 = jnp.full((SUB, LANES), zero)
+            _, _, score = jax.lax.fori_loop(
+                0, n_words, word_body, (hp0, hn0, score_ref[...])
+            )
+            score_ref[...] = score
+            return ()
+
+        jax.lax.fori_loop(0, JC, col_body, ())
+
+        @pl.when(js == n_js - 1)
+        def _():
+            out_ref[0] = score_ref[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "nbits", "interpret", "loop"))
+def _myers(bp, b_cols, blen, lastw, lastr, alen, n_words: int, nbits: int, interpret: bool = False, *, loop: bool = True):
     n_bt = bp.shape[0]
     n_js = b_cols.shape[1] // JC
+    make = _make_kernel_loop if loop else _make_kernel
     meta_spec = pl.BlockSpec((1, SUB, LANES), lambda bt, js: (bt, 0, 0))
     out = pl.pallas_call(
-        _make_kernel(n_words, nbits, n_js),
+        make(n_words, nbits, n_js),
         grid=(n_bt, n_js),
         in_specs=[
             pl.BlockSpec((1, nbits, n_words, SUB, LANES), lambda bt, js: (bt, 0, 0, 0, 0)),
