@@ -1,0 +1,206 @@
+"""Byte-level BPE tokenization with a replicated merge table (the
+north-star "regex-pre-split byte-level tokenization with replicated
+merge/vocab tables" workload; BASELINE.json configs 1 & 5).
+
+TPU-native shape:
+
+- **Pre-split** happens with the framework's own segmentation kernels
+  (whitespace boundaries, ``ops/segment.py``) or any host regex; each
+  pretoken is one row of a ``PaddedTokens`` batch.
+- **Merge table** is three replicated dense arrays — sorted pair keys
+  (``left * 2^16 + right`` as u32), merge rank, and new id — so a pair
+  lookup is a vectorized binary search (``jnp.searchsorted``) plus one
+  verifying gather, not a host dict probe.
+- **Encode loop**: every iteration ranks all adjacent pairs in every row,
+  merges each row's minimum-rank pair everywhere it occurs (left-to-right
+  overlap resolution by run parity, so ``aaa`` under merge ``(a,a)``
+  produces ``[aa, a]``), and compacts rows with a stable argsort. All rows
+  advance together under one ``lax.while_loop``; a row that can't merge
+  anymore just stops changing. Iteration count is bounded by the widest
+  row, not the batch.
+
+This reproduces the classic BPE greedy semantics per pretoken (lowest
+merge rank first; ties resolved left-to-right), validated against the
+scalar reference encoder ``bpe_encode_ref`` and a from-spec trainer
+(``train_merges``) in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stringwars_tpu.tape import PaddedTokens
+
+_INF = jnp.int32(0x7FFFFFFF)
+_KEY_SHIFT = 16  # ids < 2^16: key = left << 16 | right
+
+
+@dataclasses.dataclass(frozen=True)
+class MergeTable:
+    """Replicated dense merge table: keys sorted for binary search."""
+
+    sorted_keys: jax.Array  # uint32 [M]
+    ranks: jax.Array  # int32 [M] (lower merges first)
+    new_ids: jax.Array  # int32 [M]
+    vocab_size: int
+
+    @classmethod
+    def from_merges(cls, merges: list[tuple[int, int]]) -> "MergeTable":
+        """``merges[r]`` = (left_id, right_id) merged at rank r into id
+        ``256 + r`` (byte-level base vocabulary)."""
+        if len(merges) > (1 << 16) - 256:
+            raise ValueError("too many merges for 16-bit ids")
+        keys = np.array(
+            [(left << _KEY_SHIFT) | right for left, right in merges], np.uint32
+        )
+        if np.unique(keys).shape[0] != keys.shape[0]:
+            raise ValueError("duplicate merge pairs")
+        ranks = np.arange(len(merges), dtype=np.int32)
+        new_ids = 256 + ranks
+        order = np.argsort(keys)
+        return cls(
+            sorted_keys=jnp.asarray(keys[order]),
+            ranks=jnp.asarray(ranks[order]),
+            new_ids=jnp.asarray(new_ids[order]),
+            vocab_size=256 + len(merges),
+        )
+
+
+def train_merges(corpus_tokens: list[bytes], n_merges: int) -> list[tuple[int, int]]:
+    """From-spec greedy BPE trainer (host): repeatedly merge the most
+    frequent adjacent pair across the (deduplicated, counted) pretokens."""
+    from collections import Counter
+
+    word_counts = Counter(corpus_tokens)
+    words = [(list(w), c) for w, c in word_counts.items() if len(w) > 0]
+    merges: list[tuple[int, int]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for seq, c in words:
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        # Deterministic: max count, then smallest pair ids.
+        (left, right), top = max(
+            pair_counts.items(), key=lambda kv: (kv[1], (-kv[0][0], -kv[0][1]))
+        )
+        if top < 2:
+            break
+        new_id = 256 + len(merges)
+        merges.append((left, right))
+        for wi, (seq, c) in enumerate(words):
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            words[wi] = (out, c)
+    return merges
+
+
+def bpe_encode_ref(token: bytes, merges: list[tuple[int, int]]) -> list[int]:
+    """Scalar oracle: greedy lowest-rank-first, ties merged left-to-right."""
+    rank = {pair: r for r, pair in enumerate(merges)}
+    new_id = {pair: 256 + r for r, pair in enumerate(merges)}
+    seq = list(token)
+    while len(seq) > 1:
+        best = min(
+            (rank.get((a, b), 1 << 30) for a, b in zip(seq, seq[1:])),
+            default=1 << 30,
+        )
+        if best >= 1 << 30:
+            break
+        pair = merges[best]
+        out = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+                out.append(new_id[pair])
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _bpe_encode(ids, counts, sorted_keys, ranks, new_ids, max_iters: int):
+    """ids: int32 [B, W] (byte values, -1 past counts); counts: int32 [B]."""
+    B, W = ids.shape
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def lookup(keys):
+        idx = jnp.searchsorted(sorted_keys, keys)
+        idx = jnp.minimum(idx, sorted_keys.shape[0] - 1)
+        hit = jnp.take(sorted_keys, idx) == keys
+        return (
+            jnp.where(hit, jnp.take(ranks, idx), _INF),
+            jnp.where(hit, jnp.take(new_ids, idx), -1),
+        )
+
+    def step(state):
+        ids, counts, _changed = state
+        valid_pair = pos < (counts[:, None] - 1)
+        left = ids
+        right = jnp.concatenate([ids[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
+        keys = (
+            left.astype(jnp.uint32) << _KEY_SHIFT
+        ) | (right.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+        pair_rank, pair_new = lookup(keys)
+        pair_rank = jnp.where(valid_pair, pair_rank, _INF)
+        best = jnp.min(pair_rank, axis=1, keepdims=True)  # [B, 1]
+        m = (pair_rank == best) & (best < _INF)
+        # Left-to-right overlap resolution: within each run of consecutive
+        # matches, only even run-positions merge ("aaaa" -> "aa","aa").
+        not_m = ~m
+        last_false = jax.lax.cummax(jnp.where(not_m, pos, -1), axis=1)
+        runpos = pos - last_false - 1
+        do = m & (runpos % 2 == 0)
+        eaten = jnp.concatenate([jnp.zeros((B, 1), bool), do[:, :-1]], axis=1)
+        merged_ids = jnp.where(do, pair_new, ids)
+        # Compact: dead (eaten) slots sort after alive ones, stably.
+        sort_keys = jnp.where(eaten, W + pos, pos)
+        order = jnp.argsort(sort_keys, axis=1, stable=True)
+        new_ids_row = jnp.take_along_axis(merged_ids, order, axis=1)
+        n_merged = jnp.sum(do, axis=1).astype(jnp.int32)
+        new_counts = counts - n_merged
+        new_ids_row = jnp.where(pos < new_counts[:, None], new_ids_row, -1)
+        return new_ids_row, new_counts, jnp.any(do)
+
+    ids = jnp.where(pos < counts[:, None], ids, -1)
+    state = (ids, counts, jnp.bool_(True), jnp.int32(0))
+
+    # Early-exit while_loop with a hard bound: each iteration merges >= 1
+    # pair in every still-active row, so W-1 iterations always suffice —
+    # but most batches drain in far fewer.
+    def cond_fn(state):
+        return state[2] & (state[3] < max_iters)
+
+    def body_fn(state):
+        ids, counts, changed = step(state[:3])
+        return ids, counts, changed, state[3] + 1
+
+    ids, counts, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+    return ids, counts
+
+
+def bpe_encode(tokens: PaddedTokens, table: MergeTable) -> tuple[jax.Array, jax.Array]:
+    """Encode every pretoken row: returns (ids int32 [B, W] with -1 padding,
+    counts int32 [B])."""
+    ids = tokens.data.astype(jnp.int32)
+    counts = tokens.lengths.astype(jnp.int32)
+    W = int(tokens.data.shape[1])
+    return _bpe_encode(
+        ids, counts, table.sorted_keys, table.ranks, table.new_ids, max(W - 1, 1)
+    )

@@ -133,6 +133,65 @@ def main() -> None:
         lambda: (sync(nth(data, n, last)), WorkUnits(1, n))[1],
     )
 
+    # --- Byte-level BPE over regex pre-split pretokens (BASELINE.json
+    # configs 1 & 5: "regex-pre-split byte-level tokenization with
+    # replicated merge/vocab tables").
+    ctx.group("tokenize-bpe")
+    try:
+        import regex as _re
+
+        from stringwars_tpu.ops.bpe import (
+            MergeTable,
+            bpe_encode,
+            bpe_encode_ref,
+            train_merges,
+        )
+        from stringwars_tpu.tape import PaddedTokens
+
+        # GPT-2's pre-tokenization pattern (public; Radford et al. 2019).
+        gpt2_pat = _re.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+        )
+        pretokens = [
+            p.encode("utf-8") for p in gpt2_pat.findall(host_text[: 4 << 20])
+        ]
+        pretokens = [p for p in pretokens if 0 < len(p) <= 32][:400_000]
+        merges = train_merges(pretokens[:30_000], 512)
+        table = MergeTable.from_merges(merges)
+        W = max(max(map(len, pretokens), default=1), 1)
+        mat = np.zeros((len(pretokens), W), np.uint8)
+        for i, t in enumerate(pretokens):
+            mat[i, : len(t)] = np.frombuffer(t, np.uint8)
+        staged = PaddedTokens(
+            data=jax.device_put(mat),
+            lengths=jax.device_put(
+                np.array([len(t) for t in pretokens], np.int32)
+            ),
+            width=W,
+        )
+        pre_bytes = int(sum(map(len, pretokens)))
+        enc = jax.jit(lambda t: bpe_encode(t, table))
+
+        def bpe_routine() -> WorkUnits:
+            sync(enc(staged))
+            return WorkUnits(elements=len(pretokens), bytes=pre_bytes)
+
+        ctx.run("tokenize-bpe/swtpu::bpe_encode<1chip>", "bytes", bpe_routine)
+
+        sample = pretokens[:2000]
+        sample_bytes = sum(map(len, sample))
+
+        def bpe_host() -> WorkUnits:
+            for t in sample:
+                bpe_encode_ref(t, merges)
+            return WorkUnits(elements=len(sample), bytes=sample_bytes)
+
+        ctx.run("tokenize-bpe/python-bpe", "bytes", bpe_host)
+    except Exception as error:  # noqa: BLE001 — skip-not-crash
+        from stringwars_tpu.utils.report import report_skip
+
+        report_skip("tokenize-bpe/*", f"{type(error).__name__}: {error}")
+
 
 if __name__ == "__main__":
     main()

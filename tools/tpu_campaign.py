@@ -88,6 +88,7 @@ def _force_readback(out):
 
 def run_benches():
     compile_only = "--compile-only" in sys.argv
+    require_warm = "--require-warm" in sys.argv
     max_wait = 900.0
     if "--max-wait" in sys.argv:
         max_wait = float(sys.argv[sys.argv.index("--max-wait") + 1])
@@ -106,6 +107,14 @@ def run_benches():
             compile_s = time.perf_counter() - t0
             log(f"setup+compile {name} in {compile_s:.1f}s")
             if compile_only:
+                continue
+            if require_warm and compile_s > 15.0:
+                # Any fresh compile poisons every later dispatch in this
+                # process (server-side churn; in-process recovery has never
+                # been observed). The cache is one run warmer now — the
+                # caller should retry in a fresh process.
+                RESULTS[name] = {"cold_compile_s": round(compile_s, 1)}
+                log(f"{name}: COLD (compile {compile_s:.1f}s > 15s); rerun over the warm cache")
                 continue
             if compile_s > 15.0:
                 # The server-side compile helper may still be churning
@@ -516,6 +525,35 @@ def main():
         return fns
 
     bench("sha256-1KB-lines-128MB", mk_sha256, 131072 * 1024)
+
+    _bpe_B, _bpe_W = 1 << 20, 16
+    _bpe_lengths = np.random.default_rng(1234).integers(2, 17, _bpe_B).astype(np.int32)
+
+    def mk_bpe():
+        from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, train_merges
+        from stringwars_tpu.tape import PaddedTokens
+
+        # Skewed synthetic words so merges actually fire.
+        alphabet = np.frombuffer(b"etaoinshrdlucmfwyp", np.uint8)
+        rng = np.random.default_rng(0)
+        data = alphabet[rng.integers(0, len(alphabet), (_bpe_B, _bpe_W))]
+        sample = [data[i, : _bpe_lengths[i]].tobytes() for i in range(20_000)]
+        table = MergeTable.from_merges(train_merges(sample, 256))
+        f = jax.jit(lambda t: bpe_encode(t, table))
+        fns = []
+        for seed in (0, 1):
+            r2 = np.random.default_rng(seed + 10)
+            d = alphabet[r2.integers(0, len(alphabet), (_bpe_B, _bpe_W))]
+            toks = PaddedTokens(
+                data=jax.device_put(d),
+                lengths=jax.device_put(_bpe_lengths),
+                width=_bpe_W,
+            )
+            jax.block_until_ready(toks.data)
+            fns.append(lambda toks=toks: f(toks))
+        return fns
+
+    bench("bpe-1M-words", mk_bpe, int(_bpe_lengths.sum()))
 
     run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
