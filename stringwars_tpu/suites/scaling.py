@@ -25,13 +25,15 @@ from stringwars_tpu.utils.harness import WorkUnits, sync
 
 
 def build_inputs(mesh: Mesh, tape, tokens_per_chip: int, hay_bytes_per_chip: int):
-    """Shard the real corpus across the mesh (tokens + haystack rows)."""
+    """Shard the real corpus across the mesh (tokens + haystack rows).
+
+    Returns ((inputs...), total_bytes, ac_n, ac_chunk)."""
     from stringwars_tpu.ops import find as F
+    from stringwars_tpu.parallel.pipeline import _pipeline_inputs
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_chips = mesh.devices.size
-    needle = b"th"
-    packed = F.pack_needle(needle, capacity_words=4)
+    packed = F.pack_needle(b"th", capacity_words=4)
     row_len = hay_bytes_per_chip + 4 * packed.capacity + 8
     corpus = np.asarray(tape.data)[: tape.total_bytes]
     need = n_chips * row_len
@@ -47,21 +49,14 @@ def build_inputs(mesh: Mesh, tape, tokens_per_chip: int, hay_bytes_per_chip: int
     for i, t in enumerate(token_list):
         tokens[i, : len(t)] = np.frombuffer(t, np.uint8)
         lengths[i] = len(t)
-    lut = np.arange(256, dtype=np.uint8)[::-1].copy()
 
-    shard2 = NamedSharding(mesh, P("shard", None))
-    shard1 = NamedSharding(mesh, P("shard"))
-    repl = NamedSharding(mesh, P())
-    total_bytes = n_chips * hay_bytes_per_chip + int(lengths.sum())
-    return (
-        jax.device_put(hay, shard2),
-        jax.device_put(tokens, shard2),
-        jax.device_put(lengths, shard1),
-        jax.device_put(np.asarray(packed.words), repl),
-        jax.device_put(np.asarray(packed.masks), repl),
-        jax.device_put(np.asarray(packed.length), repl),
-        jax.device_put(lut, repl),
-    ), total_bytes
+    inputs, _packed, ac_n, ac_chunk = _pipeline_inputs(
+        mesh, big[: n_chips * hay_bytes_per_chip], tokens, lengths
+    )
+    hay_dev = jax.device_put(hay, NamedSharding(mesh, P("shard", None)))
+    # Work = haystack bytes (find) + AC bytes + token bytes (hash + fp + BPE).
+    total_bytes = 2 * n_chips * hay_bytes_per_chip + int(lengths.sum())
+    return (hay_dev,) + inputs, total_bytes, ac_n, ac_chunk
 
 
 def main() -> None:
@@ -75,10 +70,10 @@ def main() -> None:
     rates = {}
     for scope in ctx.scopes:
         mesh = scope.mesh
-        step = make_sharded_step(mesh)
-        inputs, total_bytes = build_inputs(
+        inputs, total_bytes, ac_n, ac_chunk = build_inputs(
             mesh, ctx.tape, tokens_per_chip=4096, hay_bytes_per_chip=4 << 20
         )
+        step = make_sharded_step(mesh, ac_n=ac_n, ac_chunk=ac_chunk)
 
         def routine() -> WorkUnits:
             sync(step(*inputs))

@@ -14,8 +14,8 @@ def test_sharded_pipeline_matches_replay(n_devices):
     if len(devices) < n_devices:
         pytest.skip("needs virtual multi-device mesh")
     mesh = Mesh(np.array(devices[:n_devices]), ("shard",))
-    step = make_sharded_step(mesh)
-    inputs = demo_inputs(mesh)
+    inputs, ac_n, ac_chunk = demo_inputs(mesh)
+    step = make_sharded_step(mesh, ac_n=ac_n, ac_chunk=ac_chunk)
     out = jax.block_until_ready(step(*inputs))
 
     from stringwars_tpu.ops import hash as H
@@ -57,7 +57,6 @@ def test_pipeline_match_count_exact_at_seams():
     if len(devices) < n_chips:
         pytest.skip("needs virtual multi-device mesh")
     mesh = Mesh(np.array(devices[:n_chips]), ("shard",))
-    step = make_sharded_step(mesh)
 
     rng = np.random.default_rng(11)
     packed = F.pack_needle(b"abab", 4)
@@ -71,21 +70,17 @@ def test_pipeline_match_count_exact_at_seams():
     buf[: data.size] = data
     rows = np.lib.stride_tricks.sliding_window_view(buf, chunk + pad)[::chunk][:n_chips]
 
-    tokens = rng.integers(32, 127, (n_chips * 4, 32), dtype=np.uint8)
+    tokens = rng.integers(97, 123, (n_chips * 4, 32), dtype=np.uint8)
     lengths = rng.integers(1, 32, n_chips * 4, dtype=np.int32)
-    lut = np.arange(256, dtype=np.uint8)
-    shard2 = NamedSharding(mesh, P("shard", None))
-    shard1 = NamedSharding(mesh, P("shard"))
-    repl = NamedSharding(mesh, P())
-    out = step(
-        jax.device_put(np.ascontiguousarray(rows), shard2),
-        jax.device_put(tokens, shard2),
-        jax.device_put(lengths, shard1),
-        jax.device_put(np.asarray(packed.words), repl),
-        jax.device_put(np.asarray(packed.masks), repl),
-        jax.device_put(np.asarray(packed.length), repl),
-        jax.device_put(lut, repl),
+    from stringwars_tpu.parallel.pipeline import _pipeline_inputs
+    from jax.sharding import NamedSharding as NS
+
+    inputs, _p, ac_n, ac_chunk = _pipeline_inputs(
+        mesh, data, tokens, lengths, needle=b"abab"
     )
+    step = make_sharded_step(mesh, ac_n=ac_n, ac_chunk=ac_chunk)
+    shard2 = NS(mesh, P("shard", None))
+    out = step(jax.device_put(np.ascontiguousarray(rows), shard2), *inputs)
     want = len(re.findall(b"(?=abab)", data.tobytes()))
     assert int(out["matches"]) == want
 

@@ -27,6 +27,10 @@ import numpy as np
 # compile degrades every dispatch for ~10 min afterwards).
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Surface cache write failures / key mismatches instead of silent misses —
+# several multi-minute kernels were observed recompiling every process.
+jax.config.update("jax_raise_persistent_cache_errors", True)
+jax.config.update("jax_explain_cache_misses", True)
 
 RESULTS: dict[str, dict] = {}
 _BENCHES: list = []
