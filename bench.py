@@ -28,10 +28,15 @@ KERNELS = [
     # (campaign bench name, result key, reference baseline GB/s, budget s).
     # The headline is the first that succeeds. Baselines: sz::find 11.52,
     # sz::find_byteset 8.34, sz::bytesum 12.62, sz::hash 12.22 (BASELINE.md).
-    ("find-cycle64-8B-128MB", "find_8B", 11.52, 420.0),
-    ("byteset-128MB", "byteset_find", 8.34, 180.0),
-    ("bytesum-256MB", "bytesum", 12.62, 180.0),
-    ("swh64-1KB-lines-128MB", "swh64_hash", 12.22, 150.0),
+    # find-cycle64 leads: 64 needles x 128 MB = 8.6 GB scanned per dispatch,
+    # so even a poisoned ~40 ms dispatch floor barely dents its GB/s, and
+    # its compile is the likeliest cache-warm (committed .jax_cache entry).
+    # Worst-case chain (all cold, all measured) = 480+150+120+120 = 870 s,
+    # inside the driver's budget.
+    ("find-cycle64-8B-128MB", "find_8B", 11.52, 480.0),
+    ("byteset-128MB", "byteset_find", 8.34, 150.0),
+    ("bytesum-256MB", "bytesum", 12.62, 120.0),
+    ("swh64-1KB-lines-128MB", "swh64_hash", 12.22, 120.0),
 ]
 
 

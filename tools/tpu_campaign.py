@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Surface cache write failures / key mismatches instead of silent misses —
 # several multi-minute kernels were observed recompiling every process.
 jax.config.update("jax_raise_persistent_cache_errors", True)
-jax.config.update("jax_explain_cache_misses", True)
+jax.config.update("jax_debug_log_modules", "jax._src.compilation_cache")
 
 RESULTS: dict[str, dict] = {}
 _BENCHES: list = []
@@ -51,6 +51,7 @@ def wait_healthy(max_wait_s: float = 240.0) -> bool:
     f = jax.jit(lambda v: v + jnp.uint32(1))
     probe = np.zeros(16 << 20, np.uint8)
     deadline = time.time() + max_wait_s
+    salt = int(time.time_ns() % 1_000_003)
     while True:
         jax.block_until_ready(f(x))
         samples = []
@@ -62,13 +63,20 @@ def wait_healthy(max_wait_s: float = 240.0) -> bool:
         t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(probe))
         up_mbps = 16.0 / max(time.perf_counter() - t0, 1e-9)
-        if ms < 1.0 and up_mbps > 50.0:
-            log(f"device healthy (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s)")
+        # Fresh-compile probe: a unique tiny program. The compile helper
+        # queues behind any orphaned big compile, so this is the only probe
+        # that predicts whether our real compile will stall.
+        salt += 1
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.jit(lambda v: v * jnp.uint32(salt) ^ jnp.uint32(salt // 7))(x))
+        compile_s = time.perf_counter() - t0
+        if ms < 1.0 and up_mbps > 50.0 and compile_s < 5.0:
+            log(f"device healthy (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s, probe-compile {compile_s:.1f}s)")
             return True
         if time.time() >= deadline:
-            log(f"device still degraded (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s); proceeding")
+            log(f"device still degraded (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s, probe-compile {compile_s:.1f}s); proceeding")
             return False
-        log(f"device degraded (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s); waiting 60s...")
+        log(f"device degraded (dispatch {ms:.2f} ms, upload {up_mbps:.0f} MB/s, probe-compile {compile_s:.1f}s); waiting 60s...")
         time.sleep(60)
 
 
