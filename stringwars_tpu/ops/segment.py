@@ -441,8 +441,11 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
 
     ``break_allowed[i]`` = a line may break before codepoint slot i
     (mandatory breaks included). Implements LB1 class resolution and the
-    pair rules LB4-LB31 (number-chain LB25 in its simplified pair form;
-    LB15/28a omitted like most practical implementations).
+    pair rules LB4-LB31, including LB15 (QU SP* x OP, the UCD 15.0 form)
+    and LB25 numeric chains as pairs plus the (PR|PO) x (OP|HY) NU
+    lookahead. Intentionally omitted (documented skip list): LB28a —
+    its AK/AP/AS/VF/VI classes only exist from UCD 15.1, and this build's
+    tables derive from the runtime's unicodedata (UCD 15.0).
     """
     L = _lb_classes()
     table_np, _ = tables.line_break_table()
@@ -515,6 +518,8 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     no_break |= isin(before_sp, ("CL", "CP")) & (eff == L["NS"])
     # LB17: B2 SP* x B2.
     no_break |= (before_sp == L["B2"]) & (eff == L["B2"])
+    # LB15 (UCD 15.0 form): QU SP* x OP.
+    no_break |= (before_sp == L["QU"]) & (eff == L["OP"])
     # LB19: x QU; QU x.
     no_break |= (eff == L["QU"]) | (prev == L["QU"])
     # LB21: x (BA|HY|NS); BB x.
@@ -539,6 +544,12 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     no_break |= isin(prev, ("PR", "PO", "OP", "HY", "NU", "SY", "IS")) & (eff == L["NU"])
     no_break |= (prev == L["NU"]) & isin(eff, ("NU", "SY", "IS", "CL", "CP", "PO", "PR"))
     no_break |= isin(prev, ("CL", "CP")) & isin(eff, ("PO", "PR"))
+    # LB25 lookahead piece of the full regex: (PR|PO) x (OP|HY) NU — the
+    # opener/hyphen glues to a following digit ("$ (100)", "US$-10").
+    nxt = jnp.concatenate([eff[1:], jnp.full((1,), L["BK"], eff.dtype)])
+    no_break |= (
+        isin(prev, ("PR", "PO")) & isin(eff, ("OP", "HY")) & (nxt == L["NU"])
+    )
     # LB26/27: Korean syllable blocks.
     no_break |= (prev == L["JL"]) & isin(eff, ("JL", "JV", "H2", "H3"))
     no_break |= isin(prev, ("JV", "H2")) & isin(eff, ("JV", "JT"))
