@@ -2,17 +2,17 @@
 """Headline benchmark for the driver: prints ONE JSON line.
 
 Measures the flagship kernels on the real TPU chip — each in its own
-subprocess (the tunneled device client degrades in-process after heavy
-Pallas compiles; see tools/tpu_campaign.py) — and prints the headline
-JSON for the FIRST kernel that succeeds, so one hung kernel can never
-starve the whole run (the round-1 failure mode). Kernel order puts the
-flagship substring-find first; per-kernel budgets are sized so even the
-worst case finishes inside the driver's budget.
+subprocess, under the chained-loop protocol (tools/tpu_campaign.py):
+every sample is ONE dispatch of a fori_loop whose iterations are
+data-dependent (so the tunnel cannot serve memoized results) and the
+per-iteration time comes from the difference of two trip counts (so the
+tunnel's dispatch overhead cancels). The headline JSON is printed for
+the FIRST kernel that succeeds, so one hung kernel can never starve the
+whole run (the round-1 failure mode).
 
 The find headline uses the needle-cycling batch kernel (64 needles per
-dispatch over a 128 MB haystack = 8 GB scanned per call), which matches
-the reference's cycling hot loop (find/bench.rs:79-143) and amortizes the
-tunnel's per-dispatch overhead.
+dispatch over a 128 MB haystack = 8.6 GB scanned per iteration), which
+matches the reference's cycling hot loop (find/bench.rs:79-143).
 
 Diagnostics to stderr; stdout carries exactly one JSON line.
 """
@@ -28,15 +28,14 @@ KERNELS = [
     # (campaign bench name, result key, reference baseline GB/s, budget s).
     # The headline is the first that succeeds. Baselines: sz::find 11.52,
     # sz::find_byteset 8.34, sz::bytesum 12.62, sz::hash 12.22 (BASELINE.md).
-    # find-cycle64 leads: 64 needles x 128 MB = 8.6 GB scanned per dispatch,
-    # so even a poisoned ~40 ms dispatch floor barely dents its GB/s, and
-    # its compile is the likeliest cache-warm (committed .jax_cache entry).
-    # Worst-case chain (all cold, all measured) = 480+150+120+120 = 870 s,
-    # inside the driver's budget.
-    ("find-cycle64-8B-128MB", "find_8B", 11.52, 480.0),
-    ("byteset-128MB", "byteset_find", 8.34, 150.0),
-    ("bytesum-256MB", "bytesum", 12.62, 120.0),
-    ("swh64-1KB-lines-128MB", "swh64_hash", 12.22, 120.0),
+    # find-cycle64 leads; budgets cover a worst-case cold server-side
+    # compile (~300 s observed) plus measurement. Worst-case chain
+    # 420+180+150+150 = 900 s; over the warm persistent cache each kernel
+    # completes in well under a minute.
+    ("find-cycle64-8B-128MB", "find_8B", 11.52, 420.0),
+    ("byteset-128MB", "byteset_find", 8.34, 180.0),
+    ("bytesum-256MB", "bytesum", 12.62, 150.0),
+    ("swh64-1KB-lines-128MB", "swh64_hash", 12.22, 150.0),
 ]
 
 
@@ -48,7 +47,7 @@ def run_kernel(name: str, timeout_s: float) -> dict | None:
     campaign = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_campaign.py")
     try:
         proc = subprocess.run(
-            [sys.executable, campaign, "--only", name, "--max-wait", "120"],
+            [sys.executable, campaign, "--only", name, "--max-wait", "60"],
             capture_output=True,
             timeout=timeout_s,
             text=True,
