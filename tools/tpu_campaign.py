@@ -202,9 +202,9 @@ def _flat(n, seed=0):
 
 
 def _fold(salt, *vals):
-    """Mix kernel outputs into the carried salt (any dtypes, any shapes)."""
+    """Mix kernel outputs into the carried salt (any pytrees, any dtypes)."""
     acc = salt * jnp.uint32(2654435761) + jnp.uint32(1)
-    for v in vals:
+    for v in jax.tree_util.tree_leaves(vals):
         acc = acc ^ jnp.sum(v).astype(jnp.uint32)
     return acc
 
@@ -228,16 +228,16 @@ def _lines_tokens(B=131072, W=1024, seed=0):
 
 def main():
     def mk_bytesum():
-        from stringwars_tpu.ops.bytesum import _bytesum_parts, _chunk_shape
+        from stringwars_tpu.ops.bytesum import _bytesum_words_parts, _word_chunk_shape
 
         N = 256 << 20
-        rows, chunk = _chunk_shape(N)
-        padded = np.zeros(rows * chunk, np.uint8)
+        rows, chunk = _word_chunk_shape(N // 4)
+        padded = np.zeros(rows * chunk * 4, np.uint8)
         padded[:N] = _flat(N)
-        dev = jax.device_put(padded)
+        dev = jax.device_put(np.ascontiguousarray(padded.view("<u4")))
 
-        def body(s, e, data):
-            hi, lo = _bytesum_parts(data ^ _pert_u8(s), N)
+        def body(s, e, words):
+            hi, lo = _bytesum_words_parts(words ^ s, N)
             return _fold(s, hi, lo), e
 
         return body, (dev,), ()
