@@ -41,15 +41,17 @@ def _bytesum_parts(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+_BYTESUM_LANES = 4096  # minor-axis width of the reduce (multiple of 128)
+
+
 def _word_chunk_shape(n_words: int) -> tuple[int, int]:
-    """Rows × chunk (in u32 words) such that a per-chunk u32 accumulation of
-    16-bit pair-sums (≤ 1020/word) and the second-tier 16-bit-limb sums
-    (≤ 65535/row) both stay exact."""
-    chunk = 4096
-    while (n_words + chunk - 1) // chunk > 32_000 and chunk < 1_048_576:
-        chunk *= 2
-    rows = (n_words + chunk - 1) // chunk
-    return rows, chunk
+    """(rows, lanes) in u32 words: the reduce runs DOWN the major axis
+    (element-parallel across lanes — a minor-axis reduce pays cross-lane
+    shuffles per tile); per-lane u32 accumulation of 16-bit pair-sums
+    (≤ 1020/word) stays exact for rows < 2³²/1020 ≈ 4.2 M (≈ 68 GB)."""
+    lanes = _BYTESUM_LANES
+    rows = (n_words + lanes - 1) // lanes
+    return rows, lanes
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -62,12 +64,12 @@ def _bytesum_words_parts(words: jax.Array, n: int) -> tuple[jax.Array, jax.Array
     the stream at native lane width — this is the roofline-calibration path.
     """
     n_words = (n + 3) // 4
-    rows, chunk = _word_chunk_shape(n_words)
-    padded = words[: rows * chunk].reshape(rows, chunk)
+    rows, lanes = _word_chunk_shape(n_words)
+    padded = words[: rows * lanes].reshape(rows, lanes)
     m = jnp.uint32(0x00FF00FF)
     pair = (padded & m) + ((padded >> 8) & m)  # two 16-bit fields, each ≤ 510
     contrib = (pair & jnp.uint32(0xFFFF)) + (pair >> 16)  # ≤ 1020 per word
-    partials = jnp.sum(contrib, axis=1)  # ≤ chunk·1020 < 2³², exact in u32
+    partials = jnp.sum(contrib, axis=0)  # per-lane u32, exact (see shape note)
     lo = jnp.sum(partials & jnp.uint32(0xFFFF))
     hi = jnp.sum(partials >> 16)
     return hi, lo

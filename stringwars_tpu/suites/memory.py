@@ -42,7 +42,7 @@ def main() -> None:
         return jax.device_put(arr, scope.sharding(P(SHARD_AXIS))), n + pad
 
     ctx.group("lookup-table")
-    translate = jax.jit(M.lut_translate)
+    translate = jax.jit(M.lut_translate_gather)
     planes = jax.jit(M.lut_translate_planes)
     for scope in ctx.scopes:
         sdata, sn = staged_for(scope)

@@ -290,6 +290,36 @@ def main():
 
     bench("swh64-multiseed16-1KB", mk_swh64_multiseed, 131072 * 1024)
 
+    def mk_swh64_multiseed_words():
+        # Reference multihash workload shape: short words, 1024-bit digests,
+        # metric = digest Gbit/s (containers/bench.rs:50-67, 71.85 Gbit/s sz).
+        from stringwars_tpu.ops import hash as H
+        from stringwars_tpu.tape import PaddedTokens
+
+        B, W = 1 << 21, 16
+        rng = np.random.default_rng(0)
+        toks = PaddedTokens(
+            data=jax.device_put(rng.integers(97, 123, (B, W), dtype=np.uint8)),
+            lengths=jax.device_put(rng.integers(3, 17, B, dtype=np.int32)),
+            width=W,
+        )
+        lay = jax.block_until_ready(H.prepare(toks))
+        seeds = np.arange(16, dtype=np.uint64)
+
+        def body(s, e, words_t, tail_t, lengths):
+            h = H.swh64_multiseed(H.HashLayout(words_t ^ s, tail_t, lengths), seeds)
+            return _fold(s, h.hi, h.lo), e
+
+        return body, (lay.words_t, lay.tail_t, lay.lengths), ()
+
+    bench(
+        "swh64-multiseed16-words",
+        mk_swh64_multiseed_words,
+        (1 << 21) * 16,
+        unit="Gbit/s",
+        elements=(1 << 21) * 1024,  # digest bits per iteration
+    )
+
     def mk_xxh64():
         from stringwars_tpu.ops import hash as H
 
@@ -349,6 +379,43 @@ def main():
         return body, (luts,), dev
 
     bench("lut-translate-128MB", mk_lut, 128 << 20)
+
+    def mk_lut_planes():
+        from stringwars_tpu.ops.memops import invert_case_lut, lut_translate_planes
+
+        dev = jax.device_put(_flat(128 << 20))
+        luts = jnp.stack(
+            [
+                jnp.asarray(invert_case_lut()),
+                jnp.asarray(np.arange(256, dtype=np.uint8)[::-1].copy()),
+            ]
+        )
+
+        def body(s, buf, tabs):
+            t = jax.lax.dynamic_index_in_dim(tabs, (s % jnp.uint32(2)).astype(jnp.int32), 0, keepdims=False)
+            out = lut_translate_planes(buf, t)
+            return s + jnp.uint32(1), out
+
+        return body, (luts,), dev
+
+    bench("lut-planes-128MB", mk_lut_planes, 128 << 20)
+
+    def mk_lut_fixed():
+        # Diagnostic: static table (no per-iteration dynamic pick), buffer
+        # still chained — isolates whether the dynamic table operand is
+        # what de-vectorizes the 256-gather.
+        from stringwars_tpu.ops.memops import invert_case_lut, lut_translate
+
+        dev = jax.device_put(_flat(128 << 20))
+        lut = jnp.asarray(invert_case_lut())
+
+        def body(s, buf, t):
+            out = lut_translate(buf, t)
+            return s + jnp.uint32(1), out
+
+        return body, (lut,), dev
+
+    bench("lut-take-fixed-128MB", mk_lut_fixed, 128 << 20)
 
     def mk_rand():
         from stringwars_tpu.ops.memops import fill_random_words
