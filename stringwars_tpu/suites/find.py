@@ -147,9 +147,19 @@ def _single_chip_routine(ctx, usable, capacity, backward):
         )
 
         staged = StagedHaystack(np.asarray(ctx.tape.data), n)
+
+        def min_cap(t: bytes) -> int:
+            # Smallest capacity bucket whose max_m = 4*cap - 3 fits the
+            # needle: short needles in the 61-byte bucket pay 4x compare
+            # work (the 16 B case measured 5x slower at cap=16 vs cap=8).
+            for cap in (4, 8, 16):
+                if len(t) <= 4 * cap - 3:
+                    return cap
+            return capacity
+
         if backward:
             packed_cycle = itertools.cycle(
-                [F.pack_needle(t, capacity) for t in usable[:512]]
+                [F.pack_needle(t, min_cap(t)) for t in usable[:512]]
             )
 
             def routine() -> WorkUnits:
@@ -159,9 +169,12 @@ def _single_chip_routine(ctx, usable, capacity, backward):
             return routine
 
         batch_size = 16
-        packs = [F.pack_needle(t, capacity) for t in usable[:512]]
+        by_cap: dict[int, list] = {}
+        for t in usable[:512]:
+            by_cap.setdefault(min_cap(t), []).append(F.pack_needle(t, min_cap(t)))
         batches = [
             NeedleBatch(staged, packs[i : i + batch_size])
+            for packs in by_cap.values()
             for i in range(0, len(packs), batch_size)
         ]
         batch_cycle = itertools.cycle(batches)

@@ -34,8 +34,23 @@ def now_ns() -> int:
 
 
 def sync(tree) -> None:
-    """Block until every array in ``tree`` is computed on its device."""
+    """Force every array in ``tree`` to be computed on its device.
+
+    ``block_until_ready`` alone has been observed to return before the
+    tunneled device finishes executing, so one element of each leaf is
+    additionally read back to the host — a read of any output element
+    can only complete after the producing program ran. (Caveat that
+    survives this: the tunnel memoizes REPEATED IDENTICAL dispatches, so
+    a hot loop re-dispatching unchanged inputs still over-reports; the
+    calibrated numbers come from ``tools/tpu_campaign.py``'s chained-loop
+    protocol, and suite rows on the tunneled chip are smoke/ordering
+    signals unless the variant cycles its inputs.)"""
+    import numpy as np
+
     jax.block_until_ready(tree)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and leaf.size:
+            np.asarray(leaf.ravel()[:1])
 
 
 @dataclasses.dataclass(frozen=True)

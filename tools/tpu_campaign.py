@@ -358,7 +358,7 @@ def main():
         return make
 
     bench("find-cycle64-8B-128MB", mk_find_cycle(8, 4), 64 * (128 << 20))
-    bench("find-cycle64-16B-128MB", mk_find_cycle(16, 16), 64 * (128 << 20))
+    bench("find-cycle64-16B-128MB", mk_find_cycle(16, 8), 64 * (128 << 20))
 
     def mk_lut():
         from stringwars_tpu.ops.memops import invert_case_lut, lut_translate
