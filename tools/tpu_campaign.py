@@ -598,6 +598,60 @@ def main():
     # register with a nominal byte count (mean of the 2..16 length dist).
     bench("bpe-1M-words", mk_bpe_reg, (1 << 20) * 9)
 
+    def mk_utf8_count():
+        from stringwars_tpu.ops.utf8 import utf8_count
+
+        n = 128 << 20
+        dev = jax.device_put(_flat(n))
+
+        def body(s, e, d):
+            cnt = utf8_count(d ^ _pert_u8(s), n)
+            return _fold(s, cnt), e
+
+        return body, (dev,), ()
+
+    bench("utf8-count-128MB", mk_utf8_count, 128 << 20)
+
+    def mk_casefold():
+        from stringwars_tpu.ops.casefold import fold_tokens
+        from stringwars_tpu.tape import PaddedTokens
+
+        B, W = 131072, 256
+        rng = np.random.default_rng(0)
+        data = jax.device_put(rng.integers(0, 128, (B, W), dtype=np.uint8))
+        lengths = jax.device_put(np.full(B, W, np.int32))
+
+        def body(s, e, d, ln):
+            toks = PaddedTokens(data=d ^ _pert_u8(s), lengths=ln, width=W)
+            out, counts = fold_tokens(toks)
+            # out[:, :4] keeps the expansion scatter live (scatters are not
+            # sliced through); counts pins the decode+fold chain.
+            return _fold(s, counts, out[:, :4]), e
+
+        return body, (data, lengths), ()
+
+    bench("casefold-tokens-32MB", mk_casefold, 131072 * 256)
+
+    def mk_uncased_find():
+        from stringwars_tpu.ops.casefold import _window_count, fold_bytes
+
+        n = 128 << 20
+        folded, count = fold_bytes(_flat(n))
+        folded = jax.block_until_ready(folded)
+        m = 8
+
+        def body(s, e, hay_cp, hay_n):
+            # Derive the 8-cp needle from the salt (full entropy, stays in
+            # the lowercase range the corpus folds into).
+            idx = jnp.arange(m, dtype=jnp.uint32)
+            needle_cp = (97 + ((s >> idx) + idx * s) % jnp.uint32(26)).astype(jnp.int32)
+            cnt = _window_count(hay_cp, needle_cp, hay_n, m)
+            return _fold(s, cnt), e
+
+        return body, (folded, count), ()
+
+    bench("uncased-find-8cp-128MB", mk_uncased_find, 128 << 20)
+
     run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
 
