@@ -12,10 +12,16 @@ TPU-native spec (documented here; numpy replay in tests is the oracle):
    the widths {1,2,4,8,16,32} cost one fused multiply-add per level and the
    benchmark widths {5,9,17,33} = 2^k+1 cost one extra step — ~7 vector ops
    per byte for all four widths together, instead of w ops per width.
-2. **Per-dimension mixing** ``h_d(g) = mix32(a_d * g + b_d)`` with odd
-   ``a_d``/``b_d`` derived from splitmix over the dim index, ``mix32`` a
-   xorshift-multiply avalanche. Min (and argmin count) is taken over all
-   in-range positions ``p <= len - w``.
+2. **Per-dimension selection** ``h_d(g) = a_d * g + b_d (mod 2^32)`` with
+   odd ``a_d``/``b_d`` derived from splitmix over the dim index — the same
+   linear universal family the reference's hand-rolled MinHash uses
+   (``fingerprints/bench.rs:546-607``, ``(a·h+b) mod 2⁶¹−1``); an odd
+   multiplier is a bijection mod 2³², so each dim ranks grams by an
+   independent permutation. Min (and argmin count) is taken over all
+   in-range positions ``p <= len - w``; the published min-hash is
+   ``mix32(min)`` (avalanche remix restores per-bit entropy without
+   changing collision probabilities). A per-value avalanche would add ~6
+   VPU ops to the 3-op inner loop for no MinHash-quality gain.
 
 Outputs match the reference's shape: ``min_hashes uint32[B, ndim]``,
 ``min_counts int32[B, ndim]`` (how many grams attained the min).
@@ -123,7 +129,7 @@ def fingerprint(
         b = jnp.asarray(b_np[wi * per_width : (wi + 1) * per_width])
         for lo in range(0, per_width, dim_chunk):
             hi = min(lo + dim_chunk, per_width)
-            vals = _mix32(g[:, :, None] * a[None, None, lo:hi] + b[None, None, lo:hi])
+            vals = g[:, :, None] * a[None, None, lo:hi] + b[None, None, lo:hi]
             vals = jnp.where(valid[:, :, None], vals, jnp.uint32(0xFFFFFFFF))
             m = jnp.min(vals, axis=1)  # [B, chunk]
             # Final avalanche: min-of-uniforms concentrates in the low range;
@@ -162,13 +168,7 @@ def fingerprint_ref(token: bytes, ndim: int = 256, widths=WINDOW_WIDTHS):
             ghash[p] = h
         for d in range(per_width):
             gd = wi * per_width + d
-            vals = ghash * a_np[gd] + b_np[gd]
-            # mix32
-            vals = vals ^ (vals >> np.uint32(16))
-            vals = (vals * np.uint32(0x7FEB352D)).astype(np.uint32)
-            vals = vals ^ (vals >> np.uint32(15))
-            vals = (vals * np.uint32(0x846CA68B)).astype(np.uint32)
-            vals = vals ^ (vals >> np.uint32(16))
+            vals = (ghash * a_np[gd] + b_np[gd]).astype(np.uint32)
             m = vals.min()
             counts[gd] = int((vals == m).sum())
             m = m ^ (m >> np.uint32(16))
