@@ -57,6 +57,41 @@ def fold_codepoints(cps: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     return out, jnp.sum(length, dtype=jnp.int32)
 
 
+@jax.jit
+def fold_tokens_ascii(tokens) -> tuple[jax.Array, jax.Array]:
+    """ASCII fast-path full case fold: bytewise, 1:1, no scatters.
+
+    For pure-ASCII tokens the full Unicode fold IS lowercase (every
+    1→N expansion starts above U+00DF), so folding is three vector ops
+    per byte instead of the general kernel's decode + expansion
+    scatters — the TPU analog of the reference kernels' ASCII runs
+    (case fold on English measures 7.53 GB/s there,
+    ``normalization/README.md``). Returns (folded uint8[B, W],
+    counts = lengths). Caller guarantees ASCII purity (see
+    :func:`fold_tokens_auto`)."""
+    data = tokens.data
+    is_upper = (data >= 65) & (data <= 90)
+    return jnp.where(is_upper, data | jnp.uint8(0x20), data), tokens.lengths
+
+
+def fold_tokens_auto(tokens, data_np=None):
+    """Dispatch the ASCII fast path when the batch is pure ASCII.
+
+    ``data_np`` (host bytes, optional) avoids a device readback for the
+    purity check; staging-time dispatch mirrors the reference's
+    run-length ASCII specialization. Returns (folded, counts, ascii_flag)
+    where ``folded`` is uint8[B, W] on the fast path and the expanded
+    int32 codepoint matrix otherwise."""
+    import numpy as np
+
+    probe = data_np if data_np is not None else np.asarray(tokens.data)
+    if not probe.size or int(probe.max()) < 0x80:
+        folded, counts = fold_tokens_ascii(tokens)
+        return folded, counts, True
+    folded, counts = fold_tokens(tokens)
+    return folded, counts, False
+
+
 def fold_bytes(data, n: int | None = None) -> tuple[jax.Array, jax.Array]:
     """UTF-8 bytes → folded codepoint stream (decode + fold)."""
     data = jnp.asarray(data, jnp.uint8)

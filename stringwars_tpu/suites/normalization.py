@@ -41,6 +41,25 @@ def main() -> None:
         "bytes",
         lambda: (sync(fold(cps, cps.shape[0])), WorkUnits(1, n))[1],
     )
+    # ASCII fast path (the reference kernels specialize ASCII runs the same
+    # way; on English corpora this is the production fold).
+    if int(np.asarray(data).max(initial=0)) < 0x80:
+        from stringwars_tpu.tape import PaddedTokens
+
+        _rows = (n + 1023) // 1024
+        _buf = np.zeros((_rows, 1024), np.uint8)
+        _buf.reshape(-1)[:n] = np.asarray(data)[:n]
+        _toks = PaddedTokens(
+            data=jnp.asarray(_buf),
+            lengths=jnp.full(_rows, 1024, jnp.int32),
+            width=1024,
+        )
+        fold_a = jax.jit(CF.fold_tokens_ascii)
+        ctx.run(
+            "case-fold/swtpu::ascii_fold<1chip>",
+            "bytes",
+            lambda: (sync(fold_a(_toks)), WorkUnits(1, n))[1],
+        )
     ctx.run(
         "case-fold/str.casefold",
         "bytes",

@@ -67,3 +67,27 @@ def test_uncased_equal_batch():
 
     got = np.asarray(uncased_equal_batch(a, b))
     np.testing.assert_array_equal(got, [p[2] for p in pairs])
+
+
+def test_fold_tokens_ascii_matches_general():
+    import jax.numpy as jnp
+    from stringwars_tpu.ops.casefold import fold_tokens, fold_tokens_ascii, fold_tokens_auto
+    from stringwars_tpu.tape import PaddedTokens, Tape
+
+    toks = [b"Hello WORLD", b"MiXeD case", b"already lower", b"", b"ALLCAPS!"]
+    pt = PaddedTokens.from_tape(Tape.from_tokens(toks))
+    fa, ca = fold_tokens_ascii(pt)
+    fg, cg = fold_tokens(pt)
+    fa, ca, fg, cg = map(np.asarray, (fa, ca, fg, cg))
+    for i, t in enumerate(toks):
+        want = t.decode().casefold().encode()
+        assert ca[i] == len(want)
+        assert bytes(fa[i, : ca[i]]) == want
+        # general kernel agrees codepoint-wise
+        assert list(fg[i, : cg[i]]) == list(want)
+    out, counts, is_ascii = fold_tokens_auto(pt)
+    assert is_ascii and np.array_equal(np.asarray(out), fa)
+
+    pt2 = PaddedTokens.from_tape(Tape.from_tokens(["Straße".encode()]))
+    out2, counts2, is_ascii2 = fold_tokens_auto(pt2)
+    assert not is_ascii2 and int(np.asarray(counts2)[0]) == len("Straße".casefold())

@@ -632,6 +632,27 @@ def main():
 
     bench("casefold-tokens-32MB", mk_casefold, 131072 * 256)
 
+    def mk_casefold_ascii():
+        from stringwars_tpu.ops.casefold import fold_tokens_ascii
+        from stringwars_tpu.tape import PaddedTokens
+
+        B, W = 131072, 1024
+        rng = np.random.default_rng(0)
+        data = jax.device_put(rng.integers(32, 127, (B, W), dtype=np.uint8))
+        lengths = jax.device_put(np.full(B, W, np.int32))
+
+        def body(s, e, d, ln):
+            toks = PaddedTokens(data=d ^ _pert_u8(s), lengths=ln, width=W)
+            out, counts = fold_tokens_ascii(toks)
+            # Sum the WHOLE output: the fold is elementwise, so a static
+            # slice would let XLA compute only the sliced columns; the
+            # full reduce fuses into the same single pass over the data.
+            return _fold(s, counts, jnp.sum(out.astype(jnp.uint32))), e
+
+        return body, (data, lengths), ()
+
+    bench("casefold-ascii-128MB", mk_casefold_ascii, 131072 * 1024)
+
     def mk_uncased_find():
         from stringwars_tpu.ops.casefold import _window_count, fold_bytes
 
