@@ -542,6 +542,8 @@ def main():
     cells = 8192 * 256 * 256
     bench("levenshtein-8192x256B", mk_lev(False), cells, unit="GCUPS", elements=cells)
     bench("nw-affine-8192x256B", mk_lev(True), cells, unit="GCUPS", elements=cells)
+    cells32 = 32768 * 256 * 256
+    bench("nw-affine-32kx256B", mk_lev(True, Bp=32768), cells32, unit="GCUPS", elements=cells32)
 
     def mk_myers(Bp=65536, L=256):
         def make():
