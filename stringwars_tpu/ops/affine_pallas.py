@@ -1,0 +1,253 @@
+"""Gotoh affine-gap alignment scores in Pallas (family K5 fast path).
+
+The XLA anti-diagonal scan (``ops/similarity.py``) pays a fixed
+per-diagonal dispatch cost — 511 sequential [B, L+1] steps measure
+~78 µs each regardless of batch, capping NW-affine at ~13 GCUPS. This
+kernel runs the whole wavefront inside one Pallas program per 1024-pair
+tile with all three DP matrices' live diagonals resident in VMEM
+(reference engines: ``szs::NeedlemanWunschScores`` /
+``SmithWatermanScores``, ``similarities/bench.rs:348-362``).
+
+Layout and tricks:
+
+- Pairs fill the (sublane, lane) = (8, 128) vector; the diagonal index
+  ``i`` (rows of ``a``) is the major axis. Each of M/Ix/Iy keeps TWO
+  diagonal slabs (d-1, d-2) in a ``[2, A+2, SUB, LANES]`` VMEM scratch,
+  ping-ponged by diagonal parity (d and d-2 share a slot, so the d-2
+  read happens before the same-slot write).
+- **Shifts are free**: slab row ``r`` holds diagonal entry ``i = r-1``
+  and row 0 is a permanent -BIG sentinel, so reading ``X[i-1]`` is the
+  same slab at row offset 0 instead of 1 — no data movement.
+- **The anti-diagonal of ``b`` is a dynamic slice**: ``b`` is staged
+  REVERSED and padded so column char ``b[d-i-1]`` for the whole i-range
+  is one ``pl.ds(A + L - d, A+1)`` read — no gathers (TPU byte gathers
+  measure near-scalar).
+- Boundary conditions emerge from the sentinel algebra: the only seed is
+  M(0,0) = 0; gap openers on row/column 0 follow from the recurrences
+  over -BIG neighbors (verified against the brute-force Gotoh oracle).
+
+Scoring conventions match ``ops/similarity.py`` (match/mismatch
+substitution, first gap char costs ``gap_open``, each further char
+``gap_extend``); ``local=True`` gives Smith-Waterman (floor at 0, score
+= max over all cells).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 8
+LANES = 128
+TILE = SUB * LANES
+
+_NEG = -(1 << 20)
+
+
+def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool):
+    AP1 = A + 1
+    P0 = A  # reversed-b pad so the slice start P0 + L - d stays >= 0
+    n_d = A + L + 1
+
+    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, x_ref, y_ref, score_ref, rb_ref, sem):
+        # rb stays in HBM (a full-window block would be double-buffered by
+        # the pipeline and blow the VMEM budget); one DMA per tile.
+        copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
+        copy.start()
+        neg = jnp.int32(_NEG)
+        m_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
+        x_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
+        y_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
+        score_ref[...] = jnp.full((SUB, LANES), neg, jnp.int32)
+        copy.wait()
+
+        alen = alen_ref[0]
+        blen = blen_ref[0]
+        dfin = alen + blen
+        a_chars = a_ref[0]  # [AP1, SUB, LANES]; row i = a[i-1], row 0 sentinel
+        ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, SUB, LANES), 0)
+
+        def step(d, _):
+            par = jax.lax.rem(d, 2)
+            cur = pl.ds(par, 1)
+            prev = pl.ds(1 - par, 1)
+            # d-2 shares the parity slot with d (read before overwrite).
+            m2s = m_ref[cur, pl.ds(0, AP1)][0]  # (i-1, j-1) of diag d-2
+            x2s = x_ref[cur, pl.ds(0, AP1)][0]
+            y2s = y_ref[cur, pl.ds(0, AP1)][0]
+            m1s = m_ref[prev, pl.ds(0, AP1)][0]  # (i-1, j) of diag d-1
+            x1s = x_ref[prev, pl.ds(0, AP1)][0]
+            m1u = m_ref[prev, pl.ds(1, AP1)][0]  # (i, j-1) of diag d-1
+            y1u = y_ref[prev, pl.ds(1, AP1)][0]
+
+            bc = rb_ref[pl.ds(P0 + L - d + 1, AP1)]  # b[j-1] along the diagonal
+            sub = jnp.where(a_chars == bc, jnp.int32(match), jnp.int32(mismatch))
+
+            m_new = jnp.maximum(jnp.maximum(m2s, x2s), y2s) + sub
+            m_new = jnp.where((d == 0) & (ii == 0), jnp.int32(0), m_new)
+            if local:
+                m_new = jnp.maximum(m_new, jnp.int32(0))
+            x_new = jnp.maximum(m1s + jnp.int32(go), x1s + jnp.int32(ge))
+            y_new = jnp.maximum(m1u + jnp.int32(go), y1u + jnp.int32(ge))
+
+            jj = d - ii
+            valid = (ii <= alen) & (jj >= 0) & (jj <= blen)
+            m_new = jnp.where(valid, m_new, neg)
+            x_new = jnp.where(valid, x_new, neg)
+            y_new = jnp.where(valid, y_new, neg)
+
+            best = jnp.maximum(jnp.maximum(m_new, x_new), y_new)
+            if local:
+                hit = valid
+            else:
+                hit = (ii == alen) & (d == dfin)
+            cand = jnp.max(jnp.where(hit, best, neg), axis=0)
+            score_ref[...] = jnp.maximum(score_ref[...], cand)
+
+            m_ref[cur, pl.ds(1, AP1)] = m_new[None]
+            x_ref[cur, pl.ds(1, AP1)] = x_new[None]
+            y_ref[cur, pl.ds(1, AP1)] = y_new[None]
+            return ()
+
+        jax.lax.fori_loop(0, n_d, step, ())
+        out_ref[0] = score_ref[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("A", "L", "match", "mismatch", "go", "ge", "local", "interpret")
+)
+def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, interpret: bool):
+    n_bt = a_chars.shape[0]
+    meta_spec = pl.BlockSpec((1, SUB, LANES), lambda bt: (bt, 0, 0))
+    kernel = _make_kernel(A, L, match, mismatch, go, ge, local)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_bt,),
+        in_specs=[
+            pl.BlockSpec((1, A + 1, SUB, LANES), lambda bt: (bt, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            meta_spec,
+            meta_spec,
+        ],
+        out_specs=meta_spec,
+        out_shape=jax.ShapeDtypeStruct((n_bt, SUB, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32),
+            pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32),
+            pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32),
+            pltpu.VMEM((SUB, LANES), jnp.int32),
+            pltpu.VMEM((rb_pad.shape[1], SUB, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(a_chars, rb_pad, alen, blen)
+
+
+class AffineBatch:
+    """Pairs staged for the Gotoh kernel (host-side tiling + reversal)."""
+
+    def __init__(self, a: np.ndarray, b: np.ndarray, a_len: np.ndarray, b_len: np.ndarray):
+        a = np.asarray(a, np.int32)
+        b = np.asarray(b, np.int32)
+        B, A = a.shape
+        L = b.shape[1]
+        self.count = B
+        self.A, self.L = A, L
+        n_bt = max(1, -(-B // TILE))
+        Bp = n_bt * TILE
+
+        def tile(v2d, fill):
+            out = np.full((Bp, v2d.shape[1]), fill, np.int32)
+            out[:B] = v2d
+            return out.reshape(n_bt, TILE, -1).transpose(0, 2, 1).reshape(
+                n_bt, -1, SUB, LANES
+            )
+
+        # a row i-1 -> slab row i; row 0 = sentinel that never matches.
+        a_shift = np.full((B, A + 1), -2, np.int32)
+        a_shift[:, 1:] = np.where(
+            np.arange(A)[None, :] < np.asarray(a_len)[:, None], a, -2
+        )
+        # b reversed with sentinel pads: slice start P0 + L - d + 1, P0 = A.
+        RP = 2 * A + L + 2
+        rb = np.full((B, RP), -1, np.int32)
+        valid_b = np.arange(L)[None, :] < np.asarray(b_len)[:, None]
+        rb[:, A + 1 : A + 1 + L] = np.where(valid_b, b, -1)[:, ::-1]
+
+        self.a_chars = jnp.asarray(tile(a_shift, -2))
+        self.rb_pad = jnp.asarray(tile(rb, -1))
+
+        def meta(v):
+            out = np.zeros(Bp, np.int32)
+            out[:B] = v
+            return jnp.asarray(out.reshape(n_bt, SUB, LANES))
+
+        self.alen = meta(np.asarray(a_len, np.int32))
+        self.blen = meta(np.asarray(b_len, np.int32))
+        self._np_alen = np.asarray(a_len, np.int64)
+        self._np_blen = np.asarray(b_len, np.int64)
+
+    def cells(self) -> int:
+        return int((self._np_alen * self._np_blen).sum())
+
+
+def affine_scores(
+    batch: AffineBatch,
+    match: int = 2,
+    mismatch: int = -1,
+    gap_open: int = -5,
+    gap_extend: int = -1,
+    *,
+    local: bool = False,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """NW (or SW with ``local=True``) affine-gap score per pair -> int32[count].
+
+    The reversed-b staging flips the pad window per d; scoring matches
+    ``ops/similarity.nw_score_affine`` / ``sw_score_affine`` exactly
+    (tested against both and the brute-force Gotoh oracle)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _affine(
+        batch.a_chars,
+        batch.rb_pad,
+        batch.alen,
+        batch.blen,
+        batch.A,
+        batch.L,
+        match,
+        mismatch,
+        gap_open,
+        gap_extend,
+        local,
+        interpret,
+    )
+    flat = np.asarray(out).reshape(-1)[: batch.count]
+    if local:
+        # SW floors at 0 (empty alignment); sequences shorter than any
+        # positive-scoring alignment still report 0.
+        return np.maximum(flat, 0)
+    return flat
+
+
+def affine_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes]) -> AffineBatch:
+    """Byte-level staging from token lists."""
+    B = len(a_tokens)
+    A = max((len(t) for t in a_tokens), default=1)
+    L = max((len(t) for t in b_tokens), default=1)
+    a = np.zeros((B, max(A, 1)), np.int32)
+    b = np.zeros((B, max(L, 1)), np.int32)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    for i, (x, y) in enumerate(zip(a_tokens, b_tokens)):
+        a[i, : len(x)] = np.frombuffer(x, np.uint8)
+        b[i, : len(y)] = np.frombuffer(y, np.uint8)
+        a_len[i], b_len[i] = len(x), len(y)
+    return AffineBatch(a, b, a_len, b_len)

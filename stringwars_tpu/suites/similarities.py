@@ -82,12 +82,28 @@ def make_sharded_scorer(scope: DeviceScope, batch: S.PairBatch, fn):
     return lambda: step(sharded.a, sharded.b, sharded.a_len, sharded.b_len)
 
 
-def run_engine(ctx, name, batch, cells, total_bytes, fn, *, myers_tokens=None):
+def run_engine(ctx, name, batch, cells, total_bytes, fn, *, myers_tokens=None, gotoh=None):
     """One engine row per scope. ``myers_tokens`` = (a, b) token lists to
-    use the bit-parallel Myers kernel on the single-chip TPU row."""
+    use the bit-parallel Myers kernel on the single-chip TPU row;
+    ``gotoh`` = (tokens_a, tokens_b, match, mismatch, go, ge, local) to
+    use the Pallas Gotoh wavefront (``ops/affine_pallas``) there."""
     for scope in ctx.scopes:
         if scope.chips == 1:
-            if myers_tokens is not None and jax.default_backend() == "tpu":
+            if gotoh is not None and jax.default_backend() == "tpu":
+                from stringwars_tpu.ops.affine_pallas import _affine, affine_from_tokens
+
+                ta, tb, mt, mm, go, ge, local = gotoh
+                ab = affine_from_tokens(ta, tb)
+                routine = lambda: (
+                    sync(
+                        _affine(
+                            ab.a_chars, ab.rb_pad, ab.alen, ab.blen,
+                            ab.A, ab.L, mt, mm, go, ge, local, False,
+                        )
+                    ),
+                    WorkUnits(cells, total_bytes),
+                )[1]
+            elif myers_tokens is not None and jax.default_backend() == "tpu":
                 from stringwars_tpu.ops.myers_pallas import myers_from_tokens, _myers
 
                 mb = myers_from_tokens(*myers_tokens)
@@ -200,12 +216,25 @@ def main() -> None:
     ctx.run("uniform/python-dp-diagonal", "cups", host_routine)
 
     ctx.group("linear")
-    run_engine(ctx, "linear/swtpu::needleman_wunsch", batch, cells, total_bytes, S.nw_score_linear)
-    run_engine(ctx, "linear/swtpu::smith_waterman", batch, cells, total_bytes, S.sw_score_linear)
+    pair_toks = (pairs_a, pairs_b)
+    run_engine(
+        ctx, "linear/swtpu::needleman_wunsch", batch, cells, total_bytes,
+        S.nw_score_linear, gotoh=(*pair_toks, 2, -1, -2, -2, False),
+    )
+    run_engine(
+        ctx, "linear/swtpu::smith_waterman", batch, cells, total_bytes,
+        S.sw_score_linear, gotoh=(*pair_toks, 2, -1, -2, -2, True),
+    )
 
     ctx.group("affine")
-    run_engine(ctx, "affine/swtpu::needleman_wunsch", batch, cells, total_bytes, S.nw_score_affine)
-    run_engine(ctx, "affine/swtpu::smith_waterman", batch, cells, total_bytes, S.sw_score_affine)
+    run_engine(
+        ctx, "affine/swtpu::needleman_wunsch", batch, cells, total_bytes,
+        S.nw_score_affine, gotoh=(*pair_toks, 2, -1, -5, -1, False),
+    )
+    run_engine(
+        ctx, "affine/swtpu::smith_waterman", batch, cells, total_bytes,
+        S.sw_score_affine, gotoh=(*pair_toks, 2, -1, -5, -1, True),
+    )
 
 
 if __name__ == "__main__":
