@@ -120,13 +120,75 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
     return kernel
 
 
+def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local: bool):
+    """Single-matrix wavefront for linear gaps (go == ge): H[i,j] =
+    max(H[i-1,j-1]+sub, H[i-1,j]+g, H[i,j-1]+g) — one slab pair instead
+    of three, ~3× fewer VMEM ops per cell than the Gotoh form."""
+    AP1 = A + 1
+    P0 = A
+    n_d = A + L + 1
+
+    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, score_ref, rb_ref, sem):
+        copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
+        copy.start()
+        neg = jnp.int32(_NEG)
+        m_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
+        score_ref[...] = jnp.full((SUB, LANES), neg, jnp.int32)
+        copy.wait()
+
+        alen = alen_ref[0]
+        blen = blen_ref[0]
+        dfin = alen + blen
+        a_chars = a_ref[0]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, SUB, LANES), 0)
+
+        def step(d, _):
+            par = jax.lax.rem(d, 2)
+            cur = pl.ds(par, 1)
+            prev = pl.ds(1 - par, 1)
+            m2s = m_ref[cur, pl.ds(0, AP1)][0]  # (i-1, j-1) of diag d-2
+            m1s = m_ref[prev, pl.ds(0, AP1)][0]  # (i-1, j) of diag d-1
+            m1u = m_ref[prev, pl.ds(1, AP1)][0]  # (i, j-1) of diag d-1
+
+            bc = rb_ref[pl.ds(P0 + L - d + 1, AP1)]
+            sub = jnp.where(a_chars == bc, jnp.int32(match), jnp.int32(mismatch))
+
+            m_new = jnp.maximum(
+                m2s + sub, jnp.maximum(m1s, m1u) + jnp.int32(g)
+            )
+            m_new = jnp.where((d == 0) & (ii == 0), jnp.int32(0), m_new)
+            if local:
+                m_new = jnp.maximum(m_new, jnp.int32(0))
+
+            jj = d - ii
+            valid = (ii <= alen) & (jj >= 0) & (jj <= blen)
+            m_new = jnp.where(valid, m_new, neg)
+
+            hit = valid if local else (ii == alen) & (d == dfin)
+            cand = jnp.max(jnp.where(hit, m_new, neg), axis=0)
+            score_ref[...] = jnp.maximum(score_ref[...], cand)
+
+            m_ref[cur, pl.ds(1, AP1)] = m_new[None]
+            return ()
+
+        jax.lax.fori_loop(0, n_d, step, ())
+        out_ref[0] = score_ref[...]
+
+    return kernel
+
+
 @functools.partial(
     jax.jit, static_argnames=("A", "L", "match", "mismatch", "go", "ge", "local", "interpret")
 )
 def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, interpret: bool):
     n_bt = a_chars.shape[0]
     meta_spec = pl.BlockSpec((1, SUB, LANES), lambda bt: (bt, 0, 0))
-    kernel = _make_kernel(A, L, match, mismatch, go, ge, local)
+    if go == ge:
+        kernel = _make_kernel_linear(A, L, match, mismatch, go, local)
+        slabs = 1
+    else:
+        kernel = _make_kernel(A, L, match, mismatch, go, ge, local)
+        slabs = 3
     return pl.pallas_call(
         kernel,
         grid=(n_bt,),
@@ -139,9 +201,7 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
         out_specs=meta_spec,
         out_shape=jax.ShapeDtypeStruct((n_bt, SUB, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32),
-            pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32),
-            pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32),
+            *[pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32) for _ in range(slabs)],
             pltpu.VMEM((SUB, LANES), jnp.int32),
             pltpu.VMEM((rb_pad.shape[1], SUB, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -44,3 +44,29 @@ def test_affine_empty_and_edge():
     assert got[0] == -5 + -1 * 1
     assert got[1] == -5 + -1 * 2
     assert got[2] == 0
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_linear_matches_oracle(rng, local):
+    a_toks = _rand_tokens(rng, 33, 1, 40)
+    b_toks = _rand_tokens(rng, 33, 1, 40)
+    batch = affine_from_tokens(a_toks, b_toks)
+    got = affine_scores(batch, gap_open=-2, gap_extend=-2, local=local, interpret=True)
+    ref = S.sw_ref if local else S.nw_ref
+    for i, (x, y) in enumerate(zip(a_toks, b_toks)):
+        want = ref(list(x), list(y), match=2, mismatch=-1, go=-2, ge=-2)
+        assert got[i] == want, f"pair {i}: got {got[i]} want {want}"
+
+
+def test_linear_matches_xla_scan(rng):
+    B, L = 64, 24
+    a = rng.integers(65, 69, (B, L), dtype=np.uint8).astype(np.int32)
+    b = rng.integers(65, 69, (B, L), dtype=np.uint8).astype(np.int32)
+    a_len = rng.integers(1, L + 1, B).astype(np.int32)
+    b_len = rng.integers(1, L + 1, B).astype(np.int32)
+    import jax.numpy as jnp
+
+    pairs = S.PairBatch(jnp.asarray(a), jnp.asarray(b), jnp.asarray(a_len), jnp.asarray(b_len))
+    want = np.asarray(S.nw_score_linear(pairs))
+    got = affine_scores(AffineBatch(a, b, a_len, b_len), gap_open=-2, gap_extend=-2, interpret=True)
+    np.testing.assert_array_equal(got, want)

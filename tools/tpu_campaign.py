@@ -593,6 +593,28 @@ def main():
     bench("nw-affine-pallas-64kx256B", mk_affine_pallas(), acells, unit="GCUPS", elements=acells)
     bench("sw-affine-pallas-64kx256B", mk_affine_pallas(local=True), acells, unit="GCUPS", elements=acells)
 
+    def mk_linear_pallas(Bp=65536, L=256):
+        def make():
+            from stringwars_tpu.ops.affine_pallas import AffineBatch, _affine
+
+            rng = np.random.default_rng(0)
+            a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
+            b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
+            lens = np.full(Bp, L, np.int32)
+            batch = AffineBatch(a, b, lens, lens)
+
+            def body(s, e, ac, rb, alen, blen):
+                pert = (s & jnp.uint32(255)).astype(jnp.int32)
+                ac2 = jnp.where(ac >= 0, ac ^ pert, ac)
+                out = _affine(ac2, rb, alen, blen, batch.A, batch.L, 2, -1, -2, -2, False, False)
+                return _fold(s, out), e
+
+            return body, (batch.a_chars, batch.rb_pad, batch.alen, batch.blen), ()
+
+        return make
+
+    bench("nw-linear-pallas-64kx256B", mk_linear_pallas(), acells, unit="GCUPS", elements=acells)
+
     def mk_bpe():
         from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, train_merges
         from stringwars_tpu.tape import PaddedTokens
