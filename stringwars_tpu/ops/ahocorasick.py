@@ -118,7 +118,9 @@ def _ac_scan_mxu(delta_t, out_count_f, rows, gpos0, n: int, chunk: int):
         return (states, counts), None
 
     (states, counts), _ = jax.lax.scan(body, (states, counts), jnp.arange(row_w))
-    return jnp.sum(counts).astype(jnp.int32)
+    # Per-row counts stay exact in f32 (< 2^24 per chunk) but the grand total
+    # over a large corpus can exceed 2^24 — cast per-row BEFORE reducing.
+    return jnp.sum(counts.astype(jnp.int32), dtype=jnp.int32)
 
 
 def ac_count(

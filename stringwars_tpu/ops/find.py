@@ -165,6 +165,17 @@ def _count_from_mask_sharded(hay_row, needle, n_cmp: int, limit, lo, n_glob):
     return jnp.sum(ok, dtype=jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_cmp",))
+def _count_last_from_mask_sharded(hay_row, needle, n_cmp: int, limit, lo, n_glob):
+    """Sharded rfind program: (owned-window count, GLOBAL offset of the last
+    match in this shard, -1 if none). Callers psum the count and pmax the
+    offset so the pair matches ``rfind_count`` run on the whole corpus."""
+    mask = _match_mask(hay_row, needle, n_cmp)
+    p = jnp.arange(n_cmp, dtype=jnp.int32)
+    ok = mask & (p < limit) & ((lo + p) <= (n_glob - needle.length))
+    return jnp.sum(ok, dtype=jnp.int32), jnp.max(jnp.where(ok, lo + p, -1))
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _count_last_from_mask(hay, needle, n):
     mask = _match_mask(hay, needle, n)
@@ -281,8 +292,10 @@ def _match_mask_conv(hay: jax.Array, needle: PackedNeedle, n: int, max_m: int) -
     return (diff == 0.0) & (p <= (n - needle.length))
 
 
-# Largest needle for which every f32 intermediate (win_sq - 2*cross can
-# reach ~2*max_m*255^2) stays under 2^23, keeping the SSD test exact.
+# Largest needle for which the SSD test stays exact in f32: each windowed
+# term (win_sq, cross) is at most max_m*255^2 = 8,388,225 < 2^23, so the
+# combination |win_sq - 2*cross + needle_sq| <= 2*max_m*255^2 < 2^24, the
+# f32 exact-integer limit. 129 is exactly at the edge.
 _CONV_MAX_M = 129
 
 
@@ -294,7 +307,7 @@ def find_count_conv(hay, needle: PackedNeedle, n: int | None = None) -> jax.Arra
     if max_m > _CONV_MAX_M:
         raise ValueError(
             f"conv find supports needles up to {_CONV_MAX_M} bytes "
-            f"(capacity {needle.capacity} words allows {max_m}); "
-            "f32 SSD intermediates would exceed 2^24 and round"
+            f"(capacity {needle.capacity} words allows {max_m}); beyond that "
+            "the combined f32 SSD term 2*max_m*255^2 exceeds 2^24 and rounds"
         )
     return jnp.sum(_match_mask_conv(_staged(hay, n, needle.capacity), needle, n, max_m), dtype=jnp.int32)

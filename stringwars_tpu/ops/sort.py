@@ -105,9 +105,11 @@ def argsort_tape(tape: Tape, *, prefix_width: int = 96, out=None) -> np.ndarray:
     if full_lengths.size and int(full_lengths.max()) > prefix_width:
         mat = np.asarray(tokens.data)
         sorted_mat = mat[order]
-        maxed = full_lengths[order] > prefix_width
+        # >= not >: a row of length exactly prefix_width has an identical
+        # radix key to a longer row sharing its prefix, and must refine too.
+        maxed = full_lengths[order] >= prefix_width
         tie = (
-            (sorted_mat[1:] == sorted_mat[:-1]).all(axis=1) & maxed[1:] & maxed[:-1]
+            (sorted_mat[1:] == sorted_mat[:-1]).all(axis=1) & (maxed[1:] | maxed[:-1])
         )
         toks = tape.to_list()
         order = _refine_ties(order, tie, toks.__getitem__)
@@ -182,14 +184,16 @@ def argsort_uncased(tape: Tape, *, prefix_width: int = 96, out=None) -> np.ndarr
     order_dev, _ = _uncased_order(tokens.data, jnp.asarray(key_lengths), n_cols, pack3)
     order = np.asarray(order_dev)
 
-    maxed = full_lengths > min(prefix_width, mat.shape[1])
+    # >= not >: length-== -prefix_width rows can tie a longer row's folded
+    # prefix key exactly and still need host refinement (see argsort_tape).
+    maxed = full_lengths >= min(prefix_width, mat.shape[1])
     if maxed.any():
         folded_np = np.asarray(folded)
         counts_np = np.asarray(counts)
         sorted_f = folded_np[order]
         sorted_c = counts_np[order]
         eq = (sorted_f[1:] == sorted_f[:-1]).all(axis=1) & (sorted_c[1:] == sorted_c[:-1])
-        tie = eq & maxed[order][1:] & maxed[order][:-1]
+        tie = eq & (maxed[order][1:] | maxed[order][:-1])
         toks = tape.to_list()
 
         def fold_key(i):

@@ -59,9 +59,11 @@ def staged_haystack(ctx: SuiteContext, capacity_words: int):
     return jnp.asarray(data), n
 
 
-def make_sharded_find(scope: DeviceScope, data: np.ndarray, n: int, cap: int):
+def make_sharded_find(scope: DeviceScope, data: np.ndarray, n: int, cap: int, backward: bool = False):
     """Build the <Nchip> all-matches counter: byte-sharded rows with halos,
-    per-shard packed compares, psum-reduced counts."""
+    per-shard packed compares, psum-reduced counts. The backward program
+    additionally pmax-reduces the global last-match offset so the sharded
+    row runs the true rfind program (count + LAST offset)."""
     overlap = 8 * cap  # >= 2*(max_m - 1), see _count_from_mask_sharded
     rows, n_glob, chunk = shard_bytes(scope, data[:n], overlap=overlap)
     row_len = chunk + overlap
@@ -71,6 +73,11 @@ def make_sharded_find(scope: DeviceScope, data: np.ndarray, n: int, cap: int):
     def local(rows_blk, words, masks, length):
         needle = F.PackedNeedle(words=words, masks=masks, length=length)
         lo = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * chunk
+        if backward:
+            count, last = F._count_last_from_mask_sharded(
+                rows_blk[0], needle, n_cmp, jnp.int32(chunk), lo, jnp.int32(n_glob)
+            )
+            return jax.lax.psum(count, SHARD_AXIS), jax.lax.pmax(last, SHARD_AXIS)
         count = F._count_from_mask_sharded(
             rows_blk[0], needle, n_cmp, jnp.int32(chunk), lo, jnp.int32(n_glob)
         )
@@ -81,7 +88,7 @@ def make_sharded_find(scope: DeviceScope, data: np.ndarray, n: int, cap: int):
             local,
             mesh=scope.mesh,
             in_specs=(P(SHARD_AXIS, None), P(), P(), P()),
-            out_specs=P(),
+            out_specs=(P(), P()) if backward else P(),
             check_vma=False,
         )
     )
@@ -203,12 +210,9 @@ def _single_chip_routine(ctx, usable, capacity, backward):
 
 
 def _sharded_routine(ctx, scope, usable, capacity, backward):
-    # Backward on the sharded path reuses the forward count program (the
-    # max-offset reduce is a single-chip deliverable); keep the row honest
-    # by reporting the same kernel name only for forward.
     data = np.asarray(ctx.tape.data)
     n = ctx.tape.total_bytes
-    step, rows = make_sharded_find(scope, data, n, capacity)
+    step, rows = make_sharded_find(scope, data, n, capacity, backward)
     packed = [F.pack_needle(t, capacity) for t in usable[:512]]
     repl = scope.replicated
     staged_cycle = itertools.cycle(
@@ -224,7 +228,11 @@ def _sharded_routine(ctx, scope, usable, capacity, backward):
 
     def routine() -> WorkUnits:
         words, masks, length = next(staged_cycle)
-        count = int(step(rows, words, masks, length))
+        if backward:
+            count, _last = step(rows, words, masks, length)
+            count = int(count)
+        else:
+            count = int(step(rows, words, masks, length))
         return WorkUnits(elements=max(count, 1), bytes=n)
 
     return routine

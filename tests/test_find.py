@@ -176,3 +176,26 @@ def test_byteset_partial_length(rng):
     hay = np.frombuffer(b"123abc456", np.uint8)
     table = pack_byteset(b"0123456789")
     assert int(byteset_count(hay, table, 4)) == 3  # "123a" has 3 digits
+
+
+def test_sharded_rfind_matches_single_chip(rng):
+    """The <Nchip> backward program must return the true (count, last-offset)
+    pair, matching rfind_count on the whole corpus."""
+    import jax
+    from stringwars_tpu.ops.find import rfind_count
+    from stringwars_tpu.parallel.mesh import make_mesh
+    from stringwars_tpu.suites.find import make_sharded_find
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device mesh")
+    scope = make_mesh(4)
+    hay = rng.integers(97, 100, 40_000, dtype=np.uint8)
+    needle = bytes(hay[777:781])  # guaranteed present
+    packed = pack_needle(needle, 4)
+    step, rows = make_sharded_find(scope, hay, hay.shape[0], 4, backward=True)
+    count, last = step(
+        rows, np.asarray(packed.words), np.asarray(packed.masks), np.asarray(packed.length)
+    )
+    ref_count, ref_last = rfind_count(hay, packed, hay.shape[0])
+    assert int(count) == int(ref_count)
+    assert int(last) == int(ref_last)

@@ -70,3 +70,24 @@ def test_argsort_uncased():
     got = sorted_tokens(Tape.from_tokens(raw), uncased=True)
     want = [t.encode() for t in sorted(tokens, key=lambda s: [ord(c) for c in s.casefold()])]
     assert got == want
+
+
+def test_argsort_exact_prefix_width_tie():
+    """A token of length exactly prefix_width must refine against a longer
+    token sharing its prefix (regression: strict > missed this boundary)."""
+    exact = b"x" * 96            # length == prefix_width: key is maxed too
+    longer = b"x" * 96 + b"a"    # identical 96-byte radix key
+    tokens = [longer, exact, b"m", longer, exact]
+    tape = Tape.from_tokens(tokens)
+    assert sorted_tokens(tape) == sorted(tokens)
+    order = list(argsort_tape(tape, prefix_width=96))
+    assert [tokens[i] for i in order] == sorted(tokens)
+
+
+def test_argsort_uncased_exact_prefix_width_tie():
+    exact = b"X" * 96
+    longer = b"x" * 96 + b"a"
+    tokens = [longer, exact]
+    tape = Tape.from_tokens(tokens)
+    got = [t.decode().casefold() for t in sorted_tokens(tape, uncased=True)]
+    assert got == sorted(t.decode().casefold() for t in tokens)

@@ -631,7 +631,15 @@ def main():
         total = int(lengths.sum())
 
         def body(s, e, d, ln):
-            toks = PaddedTokens(data=d ^ _pert_u8(s), lengths=ln, width=W)
+            # Merge-preserving perturbation: XORing byte values would break
+            # every trained pair (the encode loop would early-exit in ~1
+            # iteration and inflate throughput); rolling whole rows keeps
+            # each token intact so the greedy merge workload is the real one
+            # while the dispatch still varies with full salt entropy.
+            shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
+            toks = PaddedTokens(
+                data=jnp.roll(d, shift, axis=0), lengths=jnp.roll(ln, shift), width=W
+            )
             ids, counts = bpe_encode(toks, table)
             return _fold(s, ids, counts), e
 
