@@ -31,7 +31,14 @@ from stringwars_tpu import datasets
 from stringwars_tpu.parallel.mesh import DeviceScope, scope_variants
 from stringwars_tpu.tape import Tape
 from stringwars_tpu.utils.config import add_common_args, compile_filter, resolve_tokens, should_run
-from stringwars_tpu.utils.harness import BenchBudget, WorkUnits, measure_throughput
+from stringwars_tpu.utils.harness import (
+    BenchBudget,
+    DeviceRoutine,
+    WorkUnits,
+    fold_salt,
+    measure_chained,
+    measure_throughput,
+)
 from stringwars_tpu.utils.report import report_skip
 
 
@@ -46,13 +53,27 @@ class SuiteContext:
     def group(self, title: str) -> None:
         print(f"# {title}", flush=True)
 
-    def run(self, name: str, unit: str, routine: Callable[[], WorkUnits]) -> None:
-        """Measure one variant under the suite budget; SKIP on failure."""
+    def run(
+        self, name: str, unit: str, routine: Callable[[], WorkUnits] | DeviceRoutine
+    ) -> None:
+        """Measure one variant under the suite budget; SKIP on failure.
+
+        A plain closure is measured with the wall-time loop; a
+        ``DeviceRoutine`` goes through the chained-loop protocol, the only
+        measurement that is trustworthy on the tunneled TPU. Routine
+        factories (zero-arg callables returning a DeviceRoutine) defer
+        device staging until after the filter check.
+        """
         if not should_run(name, self.pattern):
             print(f"{name:<42} SKIPPED (filtered)", file=sys.stderr, flush=True)
             return
         try:
-            stats = measure_throughput(routine, self.budget)
+            if callable(routine) and getattr(routine, "_makes_device_routine", False):
+                routine = routine()
+            if isinstance(routine, DeviceRoutine):
+                stats = measure_chained(routine, self.budget)
+            else:
+                stats = measure_throughput(routine, self.budget)
         except KeyboardInterrupt:
             report_skip(name, "interrupted by user")
             raise
@@ -72,6 +93,33 @@ class SuiteContext:
         from stringwars_tpu.utils.profiler import HBM_ROOFLINE_GBPS
 
         return HBM_ROOFLINE_GBPS * 1e9
+
+
+def chained_layouts(fn, layouts, units: WorkUnits, *, fold_extra=()) -> DeviceRoutine:
+    """DeviceRoutine applying ``fn`` to each staged layout per iteration.
+
+    Layouts are registered pytrees whose FIRST leaf is a uint32 content
+    array (hash words, SHA blocks); that leaf is XORed with the carried
+    salt so no iteration hashes the same content — the anti-memoization
+    rule for the tunneled chip. Outputs fold back into the salt.
+    """
+    import jax.tree_util as jtu
+
+    flattened = [jtu.tree_flatten(layout) for layout in layouts]
+    flat: list = [leaf for leaves, _ in flattened for leaf in leaves]
+
+    def body(s, e, *consts):
+        outs = []
+        at = 0
+        for leaves, treedef in flattened:
+            span = len(leaves)
+            group = list(consts[at : at + span])
+            at += span
+            group[0] = group[0] ^ s
+            outs.append(fn(jtu.tree_unflatten(treedef, group)))
+        return fold_salt(s, *outs, *fold_extra), e
+
+    return DeviceRoutine(body=body, consts=tuple(flat), units=units)
 
 
 def setup_suite(

