@@ -95,6 +95,65 @@ def make_sharded_find(scope: DeviceScope, data: np.ndarray, n: int, cap: int, ba
     return step, rows
 
 
+def make_sharded_find_pallas(
+    scope: DeviceScope, data: np.ndarray, n: int, cap: int, backward: bool = False,
+    *, interpret: bool = False,
+):
+    """<Nchip> production path over the Pallas packed-word panel kernel.
+
+    The haystack is cut into per-chip byte chunks with an ``8*cap``-word
+    halo, each chunk staged into the kernel's interleaved word-row layout
+    host-side, and the chip axis sharded. Each chip counts the window
+    starts it OWNS (``p < chunk`` locally and ``lo + p <= n - m``
+    globally, expressed through the kernel's own ``meta`` bound
+    ``n_local = min(chunk + m - 1, n - lo)``); counts psum, rfind offsets
+    pmax in global coordinates. Returns (step, None) where
+    ``step(words4, masks4, length)`` runs one needle.
+    """
+    from stringwars_tpu.ops.find_pallas import _count, _count_last, stage_words
+
+    max_m = 4 * cap - 3
+    overlap = 8 * cap  # bytes; >= max_m - 1 with headroom
+    chips = scope.chips
+    chunk = (-(-n // chips) + 511) // 512 * 512
+    buf = np.zeros(chips * chunk + overlap, np.uint8)
+    buf[:n] = data[:n]
+    staged = []
+    chunkw = None
+    for i in range(chips):
+        seg = buf[i * chunk : (i + 1) * chunk + overlap]
+        rows_i, chunkw = stage_words(seg, seg.shape[0])
+        staged.append(rows_i)
+    rows_dev = jax.device_put(
+        np.stack(staged), scope.sharding(P(SHARD_AXIS, None, None))
+    )
+
+    def local(rows_blk, words4, masks4, length):
+        lo = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * chunk
+        m = length.astype(jnp.int32)
+        n_local = jnp.minimum(jnp.int32(chunk) + m - 1, jnp.int32(n) - lo)
+        meta = jnp.stack([n_local, m, jnp.int32(chunkw)])
+        if backward:
+            count, last = _count_last(rows_blk[0], words4, masks4, meta, cap, interpret)
+            glob_last = jnp.where(last >= 0, lo + last, -1)
+            return (
+                jax.lax.psum(count, SHARD_AXIS),
+                jax.lax.pmax(glob_last, SHARD_AXIS),
+            )
+        count = _count(rows_blk[0], words4, masks4, meta, cap, interpret)
+        return jax.lax.psum(count, SHARD_AXIS)
+
+    inner = shard_map(
+        local,
+        mesh=scope.mesh,
+        in_specs=(P(SHARD_AXIS, None, None), P(), P(), P()),
+        out_specs=(P(), P()) if backward else P(),
+        check_vma=False,
+    )
+    step = jax.jit(lambda w4, m4, ln: inner(rows_dev, w4, m4, ln))
+    return step, rows_dev, inner
+
+
 def bench_substring(ctx: SuiteContext, group: str) -> None:
     tokens = [t for t in ctx.tape.to_list() if t]
     if not tokens:
@@ -237,6 +296,8 @@ def _pallas_chained_routine(ctx, usable, capacity, backward, n):
 def _sharded_routine(ctx, scope, usable, capacity, backward):
     data = np.asarray(ctx.tape.data)
     n = ctx.tape.total_bytes
+    if on_tpu():
+        return _sharded_pallas_routine(ctx, scope, usable, capacity, backward, data, n)
     step, rows = make_sharded_find(scope, data, n, capacity, backward)
     packed = [F.pack_needle(t, capacity) for t in usable[:512]]
     repl = scope.replicated
@@ -261,6 +322,28 @@ def _sharded_routine(ctx, scope, usable, capacity, backward):
         return WorkUnits(elements=max(count, 1), bytes=n)
 
     return routine
+
+
+def _sharded_pallas_routine(ctx, scope, usable, capacity, backward, data, n):
+    """<Nchip> on TPU: the Pallas panel kernel, sharded + chained."""
+    _step, rows_dev, inner = make_sharded_find_pallas(scope, data, n, capacity, backward)
+    packed = F.pack_needle(usable[0], capacity)
+    words4 = jax.lax.bitcast_convert_type(jnp.asarray(packed.words), jnp.int32)
+    masks4 = jax.lax.bitcast_convert_type(jnp.asarray(packed.masks), jnp.int32)
+    length = jnp.asarray(packed.length)
+    spread_of = lambda s: jax.lax.bitcast_convert_type(  # noqa: E731
+        s * jnp.uint32(0x9E3779B1), jnp.int32
+    )
+
+    def body(s, e, rows_c, w4, m4, ln):
+        out = inner(rows_c, w4 ^ spread_of(s), m4, ln)
+        return fold_salt(s, out), e
+
+    return DeviceRoutine(
+        body=body,
+        consts=(rows_dev, words4, masks4, length),
+        units=WorkUnits(elements=1, bytes=n),
+    )
 
 
 def bench_byteset(ctx: SuiteContext) -> None:

@@ -28,11 +28,19 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+import jax.numpy as jnp
+
 from stringwars_tpu.ops import similarity as S
 from stringwars_tpu.parallel.mesh import SHARD_AXIS, DeviceScope
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
 from stringwars_tpu.utils.config import get_env_parsed
-from stringwars_tpu.utils.harness import WorkUnits, sync
+from stringwars_tpu.utils.harness import (
+    DeviceRoutine,
+    WorkUnits,
+    fold_salt,
+    perturb_u8,
+    sync,
+)
 
 
 def build_crossproduct(ctx: SuiteContext, max_side: int = 64, max_len: int = 256):
@@ -82,42 +90,105 @@ def make_sharded_scorer(scope: DeviceScope, batch: S.PairBatch, fn):
     return lambda: step(sharded.a, sharded.b, sharded.a_len, sharded.b_len)
 
 
+def shard_tiles(scope: DeviceScope, arrays):
+    """Pad the leading (batch-tile) axis to a multiple of the mesh and shard
+    it. Zero-padded tiles are inert for both Pallas DP kernels: blen == 0
+    makes every column update a no-op."""
+    n_bt = arrays[0].shape[0]
+    pad_bt = -(-n_bt // scope.chips) * scope.chips
+    out = []
+    for x in arrays:
+        xn = np.asarray(x)
+        if pad_bt != n_bt:
+            xn = np.pad(xn, [(0, pad_bt - n_bt)] + [(0, 0)] * (xn.ndim - 1))
+        spec = P(SHARD_AXIS, *([None] * (xn.ndim - 1)))
+        out.append(jax.device_put(xn, scope.sharding(spec)))
+    return out
+
+
+def _myers_routine(scope: DeviceScope, cells, total_bytes, tokens) -> DeviceRoutine:
+    """Chained DeviceRoutine over the bit-parallel Myers Pallas kernel —
+    the production path for EVERY TPU scope: the staged tile axis shards
+    across the mesh (one shard_map, no fallback to the slow XLA wavefront).
+    Text columns are salt-perturbed so no dispatch repeats."""
+    from stringwars_tpu.ops.myers_pallas import _myers, myers_from_tokens
+
+    mb = myers_from_tokens(*tokens)
+    consts = (mb.bp, mb.b_cols, mb.blen, mb.lastw, mb.lastr, mb.alen)
+
+    def run(bp, b_cols, blen, lastw, lastr, alen, pert):
+        # XOR the text codes (bits 0..7 feed Eq; distances change, cost
+        # does not). Pattern planes must stay intact (sentinel semantics).
+        return _myers(bp, b_cols ^ pert, blen, lastw, lastr, alen, mb.n_words, mb.nbits, False)
+
+    if scope.chips > 1:
+        consts = tuple(shard_tiles(scope, consts))
+        tile_spec = lambda x: P(SHARD_AXIS, *([None] * (x.ndim - 1)))  # noqa: E731
+        sharded_run = shard_map(
+            run,
+            mesh=scope.mesh,
+            in_specs=(*[tile_spec(c) for c in consts], P()),
+            out_specs=P(SHARD_AXIS, None, None),
+            check_vma=False,
+        )
+    else:
+        sharded_run = run
+
+    def body(s, e, *cs):
+        out = sharded_run(*cs, perturb_u8(s).astype(jnp.int32))
+        return fold_salt(s, out), e
+
+    return DeviceRoutine(body=body, consts=consts, units=WorkUnits(cells, total_bytes))
+
+
+def _gotoh_routine(scope: DeviceScope, cells, total_bytes, gotoh) -> DeviceRoutine:
+    """Chained DeviceRoutine over the Gotoh Pallas wavefront for every TPU
+    scope (tile axis sharded on multi-chip meshes)."""
+    from stringwars_tpu.ops.affine_pallas import _affine, affine_from_tokens
+
+    ta, tb, mt, mm, go, ge, local = gotoh
+    ab = affine_from_tokens(ta, tb)
+    consts = (ab.a_chars, ab.rb_pad, ab.alen, ab.blen)
+
+    def run(a_chars, rb_pad, alen, blen, pert):
+        # Perturb query chars, preserving negative padding sentinels.
+        a2 = jnp.where(a_chars >= 0, a_chars ^ pert, a_chars)
+        return _affine(a2, rb_pad, alen, blen, ab.A, ab.L, mt, mm, go, ge, local, False)
+
+    if scope.chips > 1:
+        consts = tuple(shard_tiles(scope, consts))
+        tile_spec = lambda x: P(SHARD_AXIS, *([None] * (x.ndim - 1)))  # noqa: E731
+        sharded_run = shard_map(
+            run,
+            mesh=scope.mesh,
+            in_specs=(*[tile_spec(c) for c in consts], P()),
+            out_specs=P(SHARD_AXIS, None, None),
+            check_vma=False,
+        )
+    else:
+        sharded_run = run
+
+    def body(s, e, *cs):
+        out = sharded_run(*cs, perturb_u8(s).astype(jnp.int32))
+        return fold_salt(s, out), e
+
+    return DeviceRoutine(body=body, consts=consts, units=WorkUnits(cells, total_bytes))
+
+
 def run_engine(ctx, name, batch, cells, total_bytes, fn, *, myers_tokens=None, gotoh=None):
-    """One engine row per scope. ``myers_tokens`` = (a, b) token lists to
-    use the bit-parallel Myers kernel on the single-chip TPU row;
-    ``gotoh`` = (tokens_a, tokens_b, match, mismatch, go, ge, local) to
-    use the Pallas Gotoh wavefront (``ops/affine_pallas``) there."""
+    """One engine row per scope. On TPU the Pallas fast kernels (Myers /
+    Gotoh) are the production path for every scope — ``<Nchip>`` shards
+    their staged tile axis under ``shard_map`` — and rows are measured
+    under the chained-loop protocol. CPU backends run the XLA wavefront
+    (plain on 1 chip, batch-sharded beyond)."""
+    on_tpu = jax.default_backend() == "tpu"
     for scope in ctx.scopes:
-        if scope.chips == 1:
-            if gotoh is not None and jax.default_backend() == "tpu":
-                from stringwars_tpu.ops.affine_pallas import _affine, affine_from_tokens
-
-                ta, tb, mt, mm, go, ge, local = gotoh
-                ab = affine_from_tokens(ta, tb)
-                routine = lambda: (
-                    sync(
-                        _affine(
-                            ab.a_chars, ab.rb_pad, ab.alen, ab.blen,
-                            ab.A, ab.L, mt, mm, go, ge, local, False,
-                        )
-                    ),
-                    WorkUnits(cells, total_bytes),
-                )[1]
-            elif myers_tokens is not None and jax.default_backend() == "tpu":
-                from stringwars_tpu.ops.myers_pallas import myers_from_tokens, _myers
-
-                mb = myers_from_tokens(*myers_tokens)
-                routine = lambda: (
-                    sync(
-                        _myers(
-                            mb.bp, mb.b_cols, mb.blen, mb.lastw, mb.lastr, mb.alen,
-                            mb.n_words, mb.nbits, False,
-                        )
-                    ),
-                    WorkUnits(cells, total_bytes),
-                )[1]
-            else:
-                routine = lambda: (sync(fn(batch)), WorkUnits(cells, total_bytes))[1]
+        if on_tpu and gotoh is not None:
+            routine = _gotoh_routine(scope, cells, total_bytes, gotoh)
+        elif on_tpu and myers_tokens is not None:
+            routine = _myers_routine(scope, cells, total_bytes, myers_tokens)
+        elif scope.chips == 1:
+            routine = lambda: (sync(fn(batch)), WorkUnits(cells, total_bytes))[1]
         else:
             step = make_sharded_scorer(scope, batch, fn)
             routine = lambda step=step: (sync(step()), WorkUnits(cells, total_bytes))[1]

@@ -213,6 +213,7 @@ def chained_per_iter(
     *,
     target_extra_s: float = CHAINED_TARGET_EXTRA_S,
     smoke: bool = False,
+    log=None,
 ) -> dict:
     """Measure one chained body; returns per-iteration diagnostics.
 
@@ -237,6 +238,8 @@ def chained_per_iter(
     compile_start = time.perf_counter()
     first = timed(1)
     compile_s = time.perf_counter() - compile_start
+    if log is not None:
+        log(f"compile+first-run {compile_s:.1f}s")
     if smoke:
         # Warm-up was the compile call; one more k=1 call is the measured
         # iteration (the TIME=0 contract: ≥1 warm-up + ≥1 measured call).

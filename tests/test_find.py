@@ -199,3 +199,35 @@ def test_sharded_rfind_matches_single_chip(rng):
     ref_count, ref_last = rfind_count(hay, packed, hay.shape[0])
     assert int(count) == int(ref_count)
     assert int(last) == int(ref_last)
+
+
+def test_sharded_pallas_find_matches_brute(rng):
+    """<Nchip> Pallas panel path: sharded counts/offsets == whole-corpus
+    results (virtual mesh, interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stringwars_tpu.parallel.mesh import make_mesh
+    from stringwars_tpu.suites.find import make_sharded_find_pallas
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device mesh")
+    scope = make_mesh(4)
+    hay = rng.integers(97, 100, 9_000, dtype=np.uint8)
+    needle = bytes(hay[4_000:4_004])  # present, likely straddles seams too
+    packed = pack_needle(needle, 4)
+    w4 = jax.lax.bitcast_convert_type(jnp.asarray(packed.words), jnp.int32)
+    m4 = jax.lax.bitcast_convert_type(jnp.asarray(packed.masks), jnp.int32)
+
+    expected = brute_positions(hay.tobytes(), needle)
+    step, _rows, _inner = make_sharded_find_pallas(
+        scope, hay, hay.shape[0], 4, backward=False, interpret=True
+    )
+    assert int(step(w4, m4, jnp.asarray(packed.length))) == len(expected)
+
+    step_b, _rows, _inner = make_sharded_find_pallas(
+        scope, hay, hay.shape[0], 4, backward=True, interpret=True
+    )
+    count, last = step_b(w4, m4, jnp.asarray(packed.length))
+    assert int(count) == len(expected)
+    assert int(last) == expected[-1]

@@ -7,6 +7,7 @@ so each test packs its coverage into ONE staged batch / one compile.
 import numpy as np
 
 from stringwars_tpu.ops.myers_pallas import (
+    _myers,
     myers_distances,
     myers_from_codepoints,
     myers_from_tokens,
@@ -71,3 +72,43 @@ def test_myers_utf8_codepoints():
     got = myers_distances(batch)
     want = [levenshtein_seq(x.tolist(), y.tolist()) for x, y in zip(a, b)]
     np.testing.assert_array_equal(got, want)
+
+
+def test_myers_sharded_tiles_match_single_device(rng):
+    """The <Nchip> production path: tile axis sharded under shard_map must
+    reproduce the single-device kernel's distances (virtual mesh, interpret
+    mode)."""
+    import jax
+    import pytest
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from stringwars_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+    from stringwars_tpu.suites.similarities import shard_tiles
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device mesh")
+    scope = make_mesh(2)
+    n_pairs = 2 * 1024  # two tiles -> one per device
+    a_toks = [bytes(rng.integers(97, 101, rng.integers(1, 6), dtype=np.uint8)) for _ in range(n_pairs)]
+    b_toks = [bytes(rng.integers(97, 101, rng.integers(1, 6), dtype=np.uint8)) for _ in range(n_pairs)]
+    mb = myers_from_tokens(a_toks, b_toks)
+    single = np.asarray(
+        _myers(mb.bp, mb.b_cols, mb.blen, mb.lastw, mb.lastr, mb.alen, mb.n_words, mb.nbits, True)
+    )
+
+    consts = tuple(shard_tiles(scope, (mb.bp, mb.b_cols, mb.blen, mb.lastw, mb.lastr, mb.alen)))
+    spec = lambda x: P(SHARD_AXIS, *([None] * (x.ndim - 1)))  # noqa: E731
+
+    def local(bp, b_cols, blen, lastw, lastr, alen):
+        return _myers(bp, b_cols, blen, lastw, lastr, alen, mb.n_words, mb.nbits, True)
+
+    stepped = shard_map(
+        local,
+        mesh=scope.mesh,
+        in_specs=tuple(spec(c) for c in consts),
+        out_specs=P(SHARD_AXIS, None, None),
+        check_vma=False,
+    )
+    sharded = np.asarray(stepped(*consts))
+    np.testing.assert_array_equal(sharded[: single.shape[0]], single)

@@ -108,69 +108,32 @@ _TARGET_EXTRA_S = 0.5  # wanted (t_{1+K} - t_1): well above tunnel jitter
 
 
 def _measure_chained(name, body, consts, extra0, work):
-    def loop_fn(salt0, extra, k, *cs):
-        def step(_, carry):
-            s, e = carry
-            return body(s, e, *cs)
+    # The protocol core now lives in the suite harness (utils/harness.py,
+    # chained_per_iter) — the campaign is a thin registry + logging shell.
+    from stringwars_tpu.utils.harness import chained_per_iter
 
-        s, e = jax.lax.fori_loop(0, k, step, (salt0, extra))
-        # Consume the extra chain so loop simplification cannot drop it:
-        # fold a coarse slice of every carried leaf into the result.
-        acc = s
-        for leaf in jax.tree_util.tree_leaves(e):
-            flat = leaf.reshape(-1)
-            nfold = min(int(flat.shape[0]), 1024)
-            start = (s % jnp.uint32(max(int(flat.shape[0]) - nfold, 1))).astype(jnp.int32)
-            window = jax.lax.dynamic_slice(flat, (start,), (nfold,))
-            acc = acc ^ jnp.sum(window.astype(jnp.uint32))
-        return acc
-
-    f = jax.jit(loop_fn)
-    salt = jnp.uint32(int(time.time_ns()) & 0x7FFFFFFF | 1)
-
-    t0 = time.perf_counter()
-    salt = jnp.uint32(np.uint32(f(salt, extra0, jnp.int32(1), *consts)))
-    compile_s = time.perf_counter() - t0
-    log(f"{name}: compile+first-run {compile_s:.1f}s")
-    if "--compile-only" in sys.argv:
-        RESULTS[name] = {"compile_s": round(compile_s, 1)}
+    compile_only = "--compile-only" in sys.argv
+    diag = chained_per_iter(
+        body,
+        consts,
+        extra0,
+        target_extra_s=_TARGET_EXTRA_S,
+        smoke=compile_only,
+        log=lambda msg: log(f"{name}: {msg}"),
+    )
+    if compile_only:
+        RESULTS[name] = {"compile_s": round(diag["compile_s"], 1)}
         return
-
-    def timed(k):
-        nonlocal salt
-        t0 = time.perf_counter()
-        out = np.uint32(f(salt, extra0, jnp.int32(k), *consts))  # forced readback
-        dt = time.perf_counter() - t0
-        salt = jnp.uint32(out)  # chain across calls: no dispatch ever repeats
-        return dt
-
-    # Pilot: per-iteration estimate, escalating trip counts so slow
-    # kernels (100 ms - seconds per iteration) never run a huge pilot.
-    t1 = min(timed(1), timed(1))
-    per0 = max((timed(3) - t1) / 2.0, 1e-5)
-    if per0 > 0.25:
-        K = max(int(np.ceil(1.0 / per0)), 2)
-    else:
-        per_est = max((timed(17) - t1) / 16.0, 1e-5)
-        K = int(np.clip(_TARGET_EXTRA_S / per_est, 8, 8192))
-    t1s, tks = [], []
-    for _ in range(3):
-        t1s.append(timed(1))
-        tks.append(timed(1 + K))
-    per_iter = (sorted(tks)[1] - sorted(t1s)[1]) / K
-    if per_iter <= 0:  # jitter swamped the pilot K; re-run with 4x K
-        K *= 4
-        tks = [timed(1 + K) for _ in range(3)]
-        per_iter = max((sorted(tks)[1] - sorted(t1s)[1]) / K, 1e-9)
+    per_iter = diag["per_iter_s"]
     value = work / per_iter / 1e9
     RESULTS[name] = {
         "value": round(value, 2),
         "unit": _current_unit,
         "ms": round(per_iter * 1e3, 3),
-        "k": K,
-        "compile_s": round(compile_s, 1),
+        "k": diag["k"],
+        "compile_s": round(diag["compile_s"], 1),
     }
-    log(f"{name}: {value:.2f} {_current_unit} ({per_iter * 1e3:.3f} ms/iter over k={K})")
+    log(f"{name}: {value:.2f} {_current_unit} ({per_iter * 1e3:.3f} ms/iter over k={diag['k']})")
 
 
 _current_unit = "GB/s"
@@ -201,18 +164,9 @@ def _flat(n, seed=0):
     return np.random.default_rng(seed).integers(97, 123, n, dtype=np.uint8)
 
 
-def _fold(salt, *vals):
-    """Mix kernel outputs into the carried salt (any pytrees, any dtypes)."""
-    acc = salt * jnp.uint32(2654435761) + jnp.uint32(1)
-    for v in jax.tree_util.tree_leaves(vals):
-        acc = acc ^ jnp.sum(v).astype(jnp.uint32)
-    return acc
-
-
-def _pert_u8(salt):
-    # Full-byte entropy: low-cardinality perturbations (e.g. salt & 1) have
-    # been observed to get enumerated/hoisted out of the loop entirely.
-    return (salt & jnp.uint32(255)).astype(jnp.uint8)
+# Salt folding / perturbation helpers are shared with the suite harness.
+from stringwars_tpu.utils.harness import fold_salt as _fold  # noqa: E402
+from stringwars_tpu.utils.harness import perturb_u8 as _pert_u8  # noqa: E402
 
 
 def _lines_tokens(B=131072, W=1024, seed=0):
