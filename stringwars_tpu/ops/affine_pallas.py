@@ -54,7 +54,7 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
     P0 = A  # reversed-b pad so the slice start P0 + L - d stays >= 0
     n_d = A + L + 1
 
-    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, x_ref, y_ref, score_ref, rb_ref, sem):
+    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, x_ref, y_ref, fin_ref, rb_ref, sem):
         # rb stays in HBM (a full-window block would be double-buffered by
         # the pipeline and blow the VMEM budget); one DMA per tile.
         copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
@@ -63,7 +63,7 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
         m_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
         x_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
         y_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
-        score_ref[...] = jnp.full((SUB, LANES), neg, jnp.int32)
+        fin_ref[...] = jnp.full((AP1, SUB, LANES), neg, jnp.int32)
         copy.wait()
 
         alen = alen_ref[0]
@@ -72,6 +72,12 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
         a_chars = a_ref[0]  # [AP1, SUB, LANES]; row i = a[i-1], row 0 sentinel
         ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, SUB, LANES), 0)
 
+        # No per-cell validity masking: the true DP rectangle (i <= alen,
+        # j <= blen) only reads cells with smaller i and j, so it is closed
+        # under the recurrence; out-of-rectangle "fake" cells decay from
+        # sentinels/real cells (pads never match) and are excluded at
+        # extraction (global) or bounded by the true max (local) — see the
+        # linear kernel's note. This removes ~8 vector ops per row per step.
         def step(d, _):
             par = jax.lax.rem(d, 2)
             cur = pl.ds(par, 1)
@@ -95,19 +101,13 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             x_new = jnp.maximum(m1s + jnp.int32(go), x1s + jnp.int32(ge))
             y_new = jnp.maximum(m1u + jnp.int32(go), y1u + jnp.int32(ge))
 
-            jj = d - ii
-            valid = (ii <= alen) & (jj >= 0) & (jj <= blen)
-            m_new = jnp.where(valid, m_new, neg)
-            x_new = jnp.where(valid, x_new, neg)
-            y_new = jnp.where(valid, y_new, neg)
-
             best = jnp.maximum(jnp.maximum(m_new, x_new), y_new)
             if local:
-                hit = valid
+                # Fake (out-of-rectangle) cells decay from real ones and the
+                # floor, so max(best) over ALL cells equals the true SW max.
+                fin_ref[...] = jnp.maximum(fin_ref[...], best)
             else:
-                hit = (ii == alen) & (d == dfin)
-            cand = jnp.max(jnp.where(hit, best, neg), axis=0)
-            score_ref[...] = jnp.maximum(score_ref[...], cand)
+                fin_ref[...] = jnp.where(d == dfin, best, fin_ref[...])
 
             m_ref[cur, pl.ds(1, AP1)] = m_new[None]
             x_ref[cur, pl.ds(1, AP1)] = x_new[None]
@@ -115,7 +115,11 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             return ()
 
         jax.lax.fori_loop(0, n_d, step, ())
-        out_ref[0] = score_ref[...]
+        fin = fin_ref[...]
+        if local:
+            out_ref[0] = jnp.max(fin, axis=0)
+        else:
+            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0)
 
     return kernel
 
@@ -123,17 +127,28 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
 def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local: bool):
     """Single-matrix wavefront for linear gaps (go == ge): H[i,j] =
     max(H[i-1,j-1]+sub, H[i-1,j]+g, H[i,j-1]+g) — one slab pair instead
-    of three, ~3× fewer VMEM ops per cell than the Gotoh form."""
+    of three, ~3× fewer VMEM ops per cell than the Gotoh form.
+
+    No per-cell validity masking (the round-3 op-diet): the recurrence
+    only reads cells with smaller i and j, so the true DP rectangle
+    (i <= alen, j <= blen) never sees an out-of-rectangle value. "Fake"
+    cells beyond the rectangle start from -BIG sentinels or decay from
+    real cells through mismatches/gaps (pads never match: a-pad = -2,
+    b-pad = -1, real bytes >= 0), so for the local score they are
+    bounded by the true max (and the floor keeps them >= 0 = the empty
+    alignment), and for the global score the extraction selects only
+    row i == alen written at d == alen + blen. This halves the vector
+    ops per row per step (~15 -> ~7)."""
     AP1 = A + 1
     P0 = A
     n_d = A + L + 1
 
-    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, score_ref, rb_ref, sem):
+    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, fin_ref, rb_ref, sem):
         copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
         copy.start()
         neg = jnp.int32(_NEG)
         m_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
-        score_ref[...] = jnp.full((SUB, LANES), neg, jnp.int32)
+        fin_ref[...] = jnp.full((AP1, SUB, LANES), neg, jnp.int32)
         copy.wait()
 
         alen = alen_ref[0]
@@ -159,20 +174,19 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
             m_new = jnp.where((d == 0) & (ii == 0), jnp.int32(0), m_new)
             if local:
                 m_new = jnp.maximum(m_new, jnp.int32(0))
-
-            jj = d - ii
-            valid = (ii <= alen) & (jj >= 0) & (jj <= blen)
-            m_new = jnp.where(valid, m_new, neg)
-
-            hit = valid if local else (ii == alen) & (d == dfin)
-            cand = jnp.max(jnp.where(hit, m_new, neg), axis=0)
-            score_ref[...] = jnp.maximum(score_ref[...], cand)
+                fin_ref[...] = jnp.maximum(fin_ref[...], m_new)
+            else:
+                fin_ref[...] = jnp.where(d == dfin, m_new, fin_ref[...])
 
             m_ref[cur, pl.ds(1, AP1)] = m_new[None]
             return ()
 
         jax.lax.fori_loop(0, n_d, step, ())
-        out_ref[0] = score_ref[...]
+        fin = fin_ref[...]
+        if local:
+            out_ref[0] = jnp.max(fin, axis=0)
+        else:
+            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0)
 
     return kernel
 
@@ -202,7 +216,7 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
         out_shape=jax.ShapeDtypeStruct((n_bt, SUB, LANES), jnp.int32),
         scratch_shapes=[
             *[pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32) for _ in range(slabs)],
-            pltpu.VMEM((SUB, LANES), jnp.int32),
+            pltpu.VMEM((A + 1, SUB, LANES), jnp.int32),  # fin: per-row extraction
             pltpu.VMEM((rb_pad.shape[1], SUB, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
