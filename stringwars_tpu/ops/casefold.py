@@ -35,6 +35,33 @@ def _fold_arrays():
     return inline, multi.astype(np.int32), pool
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_rules():
+    """Gather-free rule sets: (simple-fold range rules, expansion-length
+    sparse map, packed-e1e2 sparse map, e3 sparse map). Expansion chars are
+    packed two-per-rule-value (e1 | e2 << 16; every pool char fits 16 bits)."""
+    from stringwars_tpu.ops import rulemap
+
+    inline, multi, pool = _fold_arrays()
+    simple = rulemap.compile_fold(inline)
+    keys = np.flatnonzero(inline < 0)
+    m = multi[keys]
+    lengths = (m & 31).astype(np.int64)
+    off = (m >> 5).astype(np.int64)
+    assert int(pool.max()) <= 0xFFFF, "expansion pool char exceeds 16 bits"
+    e1 = pool[off]
+    e2 = np.where(lengths >= 2, pool[np.minimum(off + 1, pool.shape[0] - 1)], 0)
+    e3 = np.where(lengths >= 3, pool[np.minimum(off + 2, pool.shape[0] - 1)], 0)
+    mlen_rules = rulemap.compile_sparse_values(keys, lengths)
+    e12_rules = rulemap.compile_sparse_values(keys, (e1 | (e2 << 16)).astype(np.int64))
+    e3_keys = keys[e3 > 0]
+    e3_rules = rulemap.compile_sparse_values(
+        e3_keys if e3_keys.size else np.asarray([0x10FFFF]),
+        e3[e3 > 0] if e3_keys.size else np.asarray([0]),
+    )
+    return simple, mlen_rules, e12_rules, e3_rules
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def fold_codepoints(cps: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     """Full-case-fold a codepoint stream: returns (folded int32[ceil(3n)],
@@ -161,20 +188,13 @@ def uncased_count(haystack_folded: tuple[jax.Array, jax.Array], needle: bytes) -
 # Batched per-token fold + caseless equality
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def fold_tokens(tokens) -> tuple[jax.Array, jax.Array]:
-    """Row-wise full case fold of a PaddedTokens batch.
-
-    Returns (folded int32[B, 3W], folded_count int32[B]); each row is the
-    folded codepoint sequence of that token (compacted to the row front).
-    """
-    data = tokens.data.astype(jnp.int32)  # [B, W]
+def _decode_rows(data: jax.Array, lengths: jax.Array):
+    """Row-wise UTF-8 decode WITHOUT compaction: codepoints stay at their
+    lead-byte positions (gather/scatter-free). Returns (cp, is_lead)."""
     B, W = data.shape
-    lengths = tokens.lengths[:, None]
     pos = jnp.arange(W, dtype=jnp.int32)[None, :]
-    valid = pos < lengths
+    valid = pos < lengths[:, None]
 
-    # Row-wise UTF-8 decode.
     def nxt(k):
         return jnp.pad(data, ((0, 0), (0, k)))[:, k:] & 0x3F if k else data
 
@@ -198,33 +218,62 @@ def fold_tokens(tokens) -> tuple[jax.Array, jax.Array]:
         ),
     )
     is_lead = ((data & 0xC0) != 0x80) & valid
-    dst = jnp.cumsum(is_lead.astype(jnp.int32), axis=1) - 1
-    dst = jnp.where(is_lead, dst, W)
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
-    cps = jnp.zeros((B, W), jnp.int32).at[rows, dst].set(cp, mode="drop")
-    cp_count = jnp.sum(is_lead.astype(jnp.int32), axis=1)
+    return cp, is_lead
 
-    # Row-wise fold with 1->N expansion.
-    inline_np, multi_np, pool_np = _fold_arrays()
-    inline = jnp.asarray(inline_np)
-    multi = jnp.asarray(multi_np)
-    pool = jnp.asarray(pool_np)
-    f = jnp.take(inline, cps)
-    is_multi = f < 0
-    m = jnp.take(multi, cps)
-    length = jnp.where(is_multi, m & 31, 1)
-    # Slots past cp_count fold 1:1 (zeros); exclude them from the output by
-    # clamping their expansion to land past the row end.
-    in_row = jnp.arange(W, dtype=jnp.int32)[None, :] < cp_count[:, None]
-    length = jnp.where(in_row, length, 0)
-    starts = jnp.cumsum(length, axis=1) - length
-    out = jnp.zeros((B, _MAX_EXPANSION * W), jnp.int32)
-    rows3 = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
-    for k in range(_MAX_EXPANSION):
-        val = jnp.where(is_multi, jnp.take(pool, jnp.clip((m >> 5) + k, 0, pool.shape[0] - 1)), f)
-        d = jnp.where(k < length, starts + k, _MAX_EXPANSION * W)
-        out = out.at[rows3, d].set(val, mode="drop")
-    return out, jnp.sum(length, axis=1, dtype=jnp.int32)
+
+@jax.jit
+def fold_tokens(tokens) -> tuple[jax.Array, jax.Array]:
+    """Row-wise full case fold of a PaddedTokens batch — gather-free.
+
+    Returns (folded int32[B, 3W], folded_count int32[B]); each row is the
+    folded codepoint sequence of that token (compacted to the row front).
+
+    Pipeline (PERFORMANCE.md finding #4 playbook — the scatter form
+    measured 0.01 GB/s on the chip):
+
+    1. decode leaves codepoints AT their lead-byte positions;
+    2. the simple fold is ~200 arithmetic range rules (``ops/rulemap``,
+       Pallas on TPU — zero table gathers);
+    3. 1→3 expansions come from sparse equality maps packed two chars per
+       value;
+    4. compaction (drop continuation slots, splice expansions) is ONE
+       two-operand ``lax.sort`` by destination index per row — a bitonic
+       network on the lane axis instead of a serializing scatter.
+    """
+    from stringwars_tpu.ops import rulemap
+
+    data = tokens.data.astype(jnp.int32)  # [B, W]
+    B, W = data.shape
+    cp, is_lead = _decode_rows(data, tokens.lengths)
+
+    simple, mlen_rules, e12_rules, e3_rules = _fold_rules()
+    folded = rulemap.range_map(cp, simple)
+    mlen = rulemap.range_map(cp, mlen_rules)
+    e12 = rulemap.range_map(cp, e12_rules)
+    e3 = rulemap.range_map(cp, e3_rules)
+
+    length = jnp.where(is_lead, jnp.where(mlen > 0, mlen, 1), 0)
+    starts = jnp.cumsum(length, axis=1) - length  # exclusive prefix
+
+    out_w = _MAX_EXPANSION * W
+    big = jnp.int32(out_w)
+    v0 = jnp.where(mlen > 0, e12 & 0xFFFF, folded)
+    v1 = e12 >> 16
+    v2 = e3
+    keys = jnp.concatenate(
+        [
+            jnp.where(length >= 1, starts, big),
+            jnp.where(length >= 2, starts + 1, big),
+            jnp.where(length >= 3, starts + 2, big),
+        ],
+        axis=1,
+    )
+    vals = jnp.concatenate([v0, v1, v2], axis=1)
+    _, out = jax.lax.sort([keys, vals], dimension=1, num_keys=1)
+    counts = jnp.sum(length, axis=1, dtype=jnp.int32)
+    # Zero the tail (sorted BIG-key slots carry stale channel values).
+    live = jnp.arange(out_w, dtype=jnp.int32)[None, :] < counts[:, None]
+    return jnp.where(live, out, 0), counts
 
 
 def uncased_equal_batch(a_tokens, b_tokens) -> jax.Array:

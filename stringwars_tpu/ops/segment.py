@@ -28,6 +28,67 @@ _ASCII_WS = (9, 10, 11, 12, 13, 32)
 
 
 # ---------------------------------------------------------------------------
+# Gather-free building blocks (PERFORMANCE.md finding #4: TPU table gathers
+# run near-scalar). Class tables evaluate through ``ops/rulemap`` step
+# rules; positional "value at the last index where P" gathers evaluate as
+# last-valid-value associative scans.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _steps(table_name: str):
+    from stringwars_tpu.ops.rulemap import compile_steps
+
+    table = np.asarray(getattr(tables, table_name)())
+    return compile_steps(table), table
+
+
+def _class_of(cps: jax.Array, table_name: str) -> jax.Array:
+    from stringwars_tpu.ops.rulemap import step_map
+
+    rules, table = _steps(table_name)
+    return step_map(cps, rules, table)
+
+
+def _last_value(values: jax.Array, mask: jax.Array, init) -> jax.Array:
+    """out[i] = values[j] for the largest j <= i with mask[j], else init."""
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    v, f = jax.lax.associative_scan(comb, (jnp.where(mask, values, 0), mask))
+    return jnp.where(f, v, init)
+
+
+def _next_value(values: jax.Array, mask: jax.Array, init) -> jax.Array:
+    """out[i] = values[j] for the smallest j >= i with mask[j], else init."""
+    return _last_value(values[::-1], mask[::-1], init)[::-1]
+
+
+def _last_two_values(values: jax.Array, mask: jax.Array, init) -> tuple[jax.Array, jax.Array]:
+    """(last, second_to_last) masked values at or before each position.
+
+    The ≤2-suffix monoid: carriers (last, prev, count<=2) compose
+    associatively, so one ``associative_scan`` replaces the chained
+    positional gathers of the two-back TR29 rules (WB7/7c/11, SB7)."""
+    cnt0 = mask.astype(jnp.int32)
+    v = jnp.where(mask, values, 0)
+
+    def comb(a, b):
+        al, ap, ac = a
+        bl, bp, bc = b
+        last = jnp.where(bc >= 1, bl, al)
+        prev = jnp.where(bc >= 2, bp, jnp.where(bc == 1, al, ap))
+        return last, prev, jnp.minimum(ac + bc, 2)
+
+    last, prev, cnt = jax.lax.associative_scan(comb, (v, jnp.zeros_like(v), cnt0))
+    return (
+        jnp.where(cnt >= 1, last, init),
+        jnp.where(cnt >= 2, prev, init),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Whitespace / newline splitting
 # ---------------------------------------------------------------------------
 
@@ -35,8 +96,7 @@ _ASCII_WS = (9, 10, 11, 12, 13, 32)
 def whitespace_token_count(data: jax.Array, n: int) -> jax.Array:
     """Count of runs of non-whitespace codepoints (Unicode White_Space)."""
     cps, count = utf8_decode(data, n)
-    ws_np = tables.whitespace_table()
-    is_ws = jnp.take(jnp.asarray(ws_np), cps)
+    is_ws = _class_of(cps, "whitespace_table").astype(bool)
     pos = jnp.arange(n, dtype=jnp.int32)
     valid = pos < count
     tok = valid & ~is_ws
@@ -49,7 +109,7 @@ def newline_split_count(data: jax.Array, n: int) -> jax.Array:
     """Count of segments delimited by Unicode newline functions
     (LF, VT, FF, CR, NEL, LS, PS; CRLF counts once)."""
     cps, count = utf8_decode(data, n)
-    nl = jnp.take(jnp.asarray(tables.newline_table()), cps)
+    nl = _class_of(cps, "newline_table").astype(bool)
     pos = jnp.arange(n, dtype=jnp.int32)
     valid = pos < count
     nxt = jnp.pad(cps, (0, 1))[1 : n + 1]
@@ -77,8 +137,8 @@ def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     slot i (slots are the compacted decode positions).
     """
     cps, count = utf8_decode(data, n)
-    cls = jnp.take(jnp.asarray(tables.grapheme_break_table()), cps)
-    pict = jnp.take(jnp.asarray(tables.extended_pictographic_table()), cps)
+    cls = _class_of(cps, "grapheme_break_table")
+    pict = _class_of(cps, "extended_pictographic_table").astype(bool)
     prev = jnp.pad(cls, (1, 0))[:n]  # class of cp[i-1]; pad -> Other at i=0
     G = _G
 
@@ -91,8 +151,7 @@ def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
 
     # GB11 context: before the ZWJ at i-1, the last non-Extend cp is ExtPict.
     idx = jnp.arange(n, dtype=jnp.int32)
-    non_extend_idx = _cummax(jnp.where(cls != G["Extend"], idx, -1))
-    pe = jnp.take(pict, jnp.clip(non_extend_idx, 0, n - 1)) & (non_extend_idx >= 0)
+    pe = _last_value(pict, cls != G["Extend"], False)
     pe_before_zwj = jnp.pad(pe, (2, 0))[:n]  # pe at i-2
 
     ctl = (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"])
@@ -118,17 +177,14 @@ def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
 
     # GB9c (Unicode 15.1 Indic conjuncts): Consonant [Extend|Linker]*
     # Linker [Extend|Linker]* x Consonant.
-    incb = jnp.take(jnp.asarray(tables.incb_table()), cps)
+    incb = _class_of(cps, "incb_table")
     el = (incb == 1) | (incb == 2)  # Extend | Linker
-    last_non_el = _cummax(jnp.where(~el, idx, -1))
     linker_cum = jnp.cumsum((incb == 2).astype(jnp.int32))
-    j = jnp.pad(last_non_el, (1, 0), constant_values=-1)[:n]  # at i-1
-    j_ok = (j >= 0) & (jnp.take(incb, jnp.clip(j, 0, n - 1)) == 3)
+    # Class / linker-cumsum AT the last non-(Extend|Linker) position <= i-1.
+    incb_at_j = jnp.pad(_last_value(incb, ~el, -1), (1, 0), constant_values=-1)[:n]
+    cum_at_j = jnp.pad(_last_value(linker_cum, ~el, 0), (1, 0))[:n]
     linker_at_prev = jnp.pad(linker_cum, (1, 0))[:n]  # cumsum through i-1
-    linkers_between = linker_at_prev - jnp.take(
-        linker_cum, jnp.clip(j, 0, n - 1)
-    )
-    conjunct = (incb == 3) & j_ok & (linkers_between >= 1)
+    conjunct = (incb == 3) & (incb_at_j == 3) & ((linker_at_prev - cum_at_j) >= 1)
 
     no_break |= (~gb45) & (hangul | attach | prepend | zwj_pict | ri_pair | conjunct)
 
@@ -173,8 +229,8 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     [0, count), matching segment-iterator .count() semantics).
     """
     cps, count = utf8_decode(data, n)
-    cls = jnp.take(jnp.asarray(tables.word_break_table()), cps)
-    pict = jnp.take(jnp.asarray(tables.extended_pictographic_table()), cps)
+    cls = _class_of(cps, "word_break_table")
+    pict = _class_of(cps, "extended_pictographic_table").astype(bool)
     W = _W
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < count
@@ -182,35 +238,16 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     ignore = (cls == W["Extend"]) | (cls == W["Format"]) | (cls == W["ZWJ"])
     newline = (cls == W["CR"]) | (cls == W["LF"]) | (cls == W["Newline"])
 
-    # Effective previous class (skip ignorables backwards): class at the
-    # last non-ignored position strictly before i.
-    keep_idx = jnp.where(~ignore & valid, idx, -1)
-    last_keep_at = _cummax(keep_idx)  # last kept position <= i
-    last_keep_before = jnp.pad(last_keep_at, (1, 0), constant_values=-1)[:n]  # < i
-    prev_eff = jnp.where(
-        last_keep_before >= 0, jnp.take(cls, jnp.clip(last_keep_before, 0, n - 1)), -1
-    )
-    # The kept position before that (for two-back rules WB7/7c/11).
-    last_keep_before2 = jnp.where(
-        last_keep_before >= 0,
-        jnp.take(
-            jnp.pad(last_keep_at, (1, 0), constant_values=-1)[:n],
-            jnp.clip(last_keep_before, 0, n - 1),
-        ),
-        -1,
-    )
-    prev2_eff = jnp.where(
-        last_keep_before2 >= 0, jnp.take(cls, jnp.clip(last_keep_before2, 0, n - 1)), -1
-    )
+    # Effective previous two classes (skip ignorables backwards): the
+    # ≤2-suffix scan replaces the chained positional gathers.
+    keep = ~ignore & valid
+    last_cls, prev2_cls = _last_two_values(cls, keep, jnp.int32(-1))
+    prev_eff = jnp.pad(last_cls, (1, 0), constant_values=-1)[:n]  # < i
+    prev2_eff = jnp.pad(prev2_cls, (1, 0), constant_values=-1)[:n]
 
     # Effective next class (skip ignorables forward, strictly after i).
-    rev = lambda x: x[::-1]
-    keep_idx_fwd = jnp.where(~ignore & valid, idx, n + 1)
-    next_keep_at = rev(jax.lax.associative_scan(jnp.minimum, rev(keep_idx_fwd)))
-    next_keep_after = jnp.pad(next_keep_at, (0, 1), constant_values=n + 1)[1 : n + 1]  # > i
-    next_eff = jnp.where(
-        next_keep_after <= n - 1, jnp.take(cls, jnp.clip(next_keep_after, 0, n - 1)), -1
-    )
+    next_cls = _next_value(cls, keep, jnp.int32(-1))
+    next_eff = jnp.pad(next_cls, (0, 1), constant_values=-1)[1 : n + 1]  # > i
 
     prev_raw = jnp.pad(cls, (1, 0))[:n]
     prev_is_nl = jnp.pad(newline, (1, 0))[:n]
@@ -229,9 +266,7 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     s = jnp.cumsum(ri.astype(jnp.int32))
     base = _cummax(jnp.where(~ri & ~ignore, s, 0))
     ri_run = s - base
-    ri_run_prev_eff = jnp.where(
-        last_keep_before >= 0, jnp.take(ri_run, jnp.clip(last_keep_before, 0, n - 1)), 0
-    )
+    ri_run_prev_eff = jnp.pad(_last_value(ri_run, keep, 0), (1, 0))[:n]
 
     no_break = jnp.zeros((n,), bool)
     # WB3: CR x LF
@@ -300,7 +335,7 @@ _S = {name: i for i, name in enumerate(tables.SB_VALUES)}
 def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], sentence_count) per TR29 sentence rules."""
     cps, count = utf8_decode(data, n)
-    cls = jnp.take(jnp.asarray(tables.sentence_break_table()), cps)
+    cls = _class_of(cps, "sentence_break_table")
     S = _S
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < count
@@ -311,43 +346,29 @@ def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     # Effective class: ignorables attach to the previous non-ignorable
     # (SB5), except nothing attaches across ParaSep.
     keep = ~ign & valid
-    last_keep = _cummax(jnp.where(keep, idx, -1))
-    eff = jnp.where(
-        last_keep >= 0, jnp.take(cls, jnp.clip(last_keep, 0, n - 1)), jnp.int32(S["Other"])
-    )
-    eff = jnp.where(
-        ign & jnp.take(parasep, jnp.clip(last_keep, 0, n - 1)) & (last_keep >= 0),
-        jnp.int32(S["Other"]),
-        eff,
-    )
+    eff = _last_value(cls, keep, jnp.int32(S["Other"]))
+    parasep_at_keep = _last_value(parasep, keep, False)
+    has_keep = _last_value(jnp.ones_like(cls), keep, 0) > 0
+    eff = jnp.where(ign & parasep_at_keep & has_keep, jnp.int32(S["Other"]), eff)
 
     prev_raw = jnp.pad(cls, (1, 0), constant_values=S["Other"])[:n]
     prev_eff = jnp.pad(eff, (1, 0), constant_values=S["Other"])[:n]
-    prev_idx = idx - 1
 
     # prev2 effective (significant char before the previous one).
-    last_keep_before = jnp.pad(last_keep, (1, 0), constant_values=-1)[:n]
-    lk2 = jnp.where(
-        last_keep_before >= 0,
-        jnp.take(
-            jnp.pad(last_keep, (1, 0), constant_values=-1)[:n],
-            jnp.clip(last_keep_before, 0, n - 1),
-        ),
-        -1,
-    )
-    prev2_eff = jnp.where(lk2 >= 0, jnp.take(cls, jnp.clip(lk2, 0, n - 1)), S["Other"])
+    _last_c, prev2_c = _last_two_values(cls, keep, jnp.int32(S["Other"]))
+    prev2_eff = jnp.pad(prev2_c, (1, 0), constant_values=S["Other"])[:n]
 
     # Backward context at prev: skip Sp*, then Close*, then test SATerm.
-    non_sp = _cummax(jnp.where((eff != S["Sp"]) & valid, idx, -1))
-    non_close = _cummax(jnp.where((eff != S["Close"]) & valid, idx, -1))
-    j = jnp.take(jnp.pad(non_sp, (1, 0), constant_values=-1), idx)  # at prev
-    k = jnp.where(j >= 0, jnp.take(non_close, jnp.clip(j, 0, n - 1)), -1)
-    ctx_cls = jnp.where(k >= 0, jnp.take(eff, jnp.clip(k, 0, n - 1)), S["Other"])
+    # Composition of two last-valid-value scans: f[i] = eff at the last
+    # non-Close position <= i; g[i] = f at the last non-Sp position <= i.
+    other = jnp.int32(S["Other"])
+    f_ctx = _last_value(eff, (eff != S["Close"]) & valid, other)
+    g_ctx = _last_value(f_ctx, (eff != S["Sp"]) & valid, other)
+    ctx_cls = jnp.pad(g_ctx, (1, 0), constant_values=S["Other"])[:n]  # at prev
     saterm_ctx = (ctx_cls == S["ATerm"]) | (ctx_cls == S["STerm"])
     aterm_ctx = ctx_cls == S["ATerm"]
     # SB9 variant: Close* only (no Sp skipped).
-    k9 = jnp.take(jnp.pad(non_close, (1, 0), constant_values=-1), idx)
-    ctx9_cls = jnp.where(k9 >= 0, jnp.take(eff, jnp.clip(k9, 0, n - 1)), S["Other"])
+    ctx9_cls = jnp.pad(f_ctx, (1, 0), constant_values=S["Other"])[:n]
     saterm_ctx9 = (ctx9_cls == S["ATerm"]) | (ctx9_cls == S["STerm"])
 
     # Forward scan for SB8: first "stopper" at/after cur is Lower?
@@ -355,12 +376,7 @@ def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
         (eff == S["OLetter"]) | (eff == S["Upper"]) | (eff == S["Lower"])
         | parasep | (eff == S["ATerm"]) | (eff == S["STerm"])
     )
-    big = jnp.int32(n + 1)
-    rev = lambda x: x[::-1]
-    next_stop = rev(jax.lax.associative_scan(jnp.minimum, rev(jnp.where(stopper & valid, idx, big))))
-    next_stop_cls = jnp.where(
-        next_stop <= n - 1, jnp.take(eff, jnp.clip(next_stop, 0, n - 1)), S["Other"]
-    )
+    next_stop_cls = _next_value(eff, stopper & valid, jnp.int32(S["Other"]))
 
     cur = eff
     # Build from lowest to highest precedence (later writes win).
@@ -435,6 +451,22 @@ def _lb_classes():
     return _L
 
 
+@functools.lru_cache(maxsize=None)
+def _lb_steps():
+    from stringwars_tpu.ops.rulemap import compile_steps
+
+    table, _values = tables.line_break_table()
+    table = np.asarray(table, np.int32)
+    return compile_steps(table), table
+
+
+def _lb_class_of(cps: jax.Array) -> jax.Array:
+    from stringwars_tpu.ops.rulemap import step_map
+
+    rules, table = _lb_steps()
+    return step_map(cps, rules, table)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     """(break_allowed bool[n], opportunity_count) per UAX#14 core rules.
@@ -448,9 +480,8 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     tables derive from the runtime's unicodedata (UCD 15.0).
     """
     L = _lb_classes()
-    table_np, _ = tables.line_break_table()
     cps, count = utf8_decode(data, n)
-    cls = jnp.take(jnp.asarray(table_np.astype(np.int32)), cps)
+    cls = _lb_class_of(cps)
 
     # LB1 resolution: AI/SA/XX -> AL, CJ -> NS.
     cls = jnp.where((cls == L["AI"]) | (cls == L["SA"]) | (cls == L["XX"]), L["AL"], cls)
@@ -465,20 +496,22 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
         (cls == L["BK"]) | (cls == L["CR"]) | (cls == L["LF"]) | (cls == L["NL"])
         | (cls == L["SP"]) | (cls == L["ZW"])
     )
-    base_idx = _cummax(jnp.where(~cm & valid, idx, -1))
-    base_cls = jnp.where(base_idx >= 0, jnp.take(cls, jnp.clip(base_idx, 0, n - 1)), L["AL"])
-    attached = cm & (base_idx >= 0) & ~jnp.take(hard, jnp.clip(base_idx, 0, n - 1))
+    base_mask = ~cm & valid
+    base_cls = _last_value(cls, base_mask, jnp.int32(L["AL"]))
+    has_base = _last_value(jnp.ones_like(cls), base_mask, 0) > 0
+    hard_at_base = _last_value(hard, base_mask, False)
+    attached = cm & has_base & ~hard_at_base
     eff = jnp.where(cm, jnp.where(attached, base_cls, L["AL"]), cls)  # LB10: lone CM -> AL
 
     prev_raw = jnp.pad(cls, (1, 0), constant_values=L["BK"])[:n]
     prev = jnp.pad(eff, (1, 0), constant_values=L["BK"])[:n]
 
     # SP*-skipping context (LB8/14/16/17): class before the space run.
-    non_sp = _cummax(jnp.where((eff != L["SP"]) & valid, idx, -1))
-    before_sp_idx = jnp.take(jnp.pad(non_sp, (1, 0), constant_values=-1), idx)
-    before_sp = jnp.where(
-        before_sp_idx >= 0, jnp.take(eff, jnp.clip(before_sp_idx, 0, n - 1)), L["BK"]
-    )
+    before_sp = jnp.pad(
+        _last_value(eff, (eff != L["SP"]) & valid, jnp.int32(L["BK"])),
+        (1, 0),
+        constant_values=L["BK"],
+    )[:n]
 
     def isin(c, names):
         out = jnp.zeros(c.shape, bool)
