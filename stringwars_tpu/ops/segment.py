@@ -65,6 +65,44 @@ def _next_value(values: jax.Array, mask: jax.Array, init) -> jax.Array:
     return _last_value(values[::-1], mask[::-1], init)[::-1]
 
 
+def _byte_space(data: jax.Array, n: int):
+    """(cp, is_lead, count): codepoints AT their lead-byte positions.
+
+    Segmentation runs entirely in byte-position space — the compaction
+    scatter ``utf8_decode`` pays (serializing on TPU) never happens; all
+    per-codepoint logic is masked to lead positions and neighbor access
+    goes through ``_prev1`` / last-value scans.
+    """
+    from stringwars_tpu.ops.utf8 import _codepoints_at
+
+    b = data[:n].astype(jnp.int32)
+    is_lead = (b & 0xC0) != 0x80
+    cp = _codepoints_at(b, n)
+    return cp, is_lead, jnp.sum(is_lead.astype(jnp.int32), dtype=jnp.int32)
+
+
+_CONT = jnp.int32(-9)  # class sentinel at continuation bytes (matches no rule)
+
+
+def _prev1(x: jax.Array, is_lead: jax.Array, default) -> jax.Array:
+    """Value of ``x`` at the previous lead (strictly before each position) —
+    the byte-space version of "previous codepoint's value"."""
+    lv = _last_value(x, is_lead, default)
+    head = jnp.full((1,), default, lv.dtype)
+    return jnp.concatenate([head, lv[:-1]])
+
+
+def _next1(x: jax.Array, is_lead: jax.Array, default) -> jax.Array:
+    """Value of ``x`` at the next lead (strictly after each position)."""
+    nv = _next_value(x, is_lead, default)
+    tail = jnp.full((1,), default, nv.dtype)
+    return jnp.concatenate([nv[1:], tail])
+
+
+def _first_lead(is_lead: jax.Array) -> jax.Array:
+    return is_lead & (jnp.cumsum(is_lead.astype(jnp.int32)) == 1)
+
+
 def _last_two_values(values: jax.Array, mask: jax.Array, init) -> tuple[jax.Array, jax.Array]:
     """(last, second_to_last) masked values at or before each position.
 
@@ -95,26 +133,23 @@ def _last_two_values(values: jax.Array, mask: jax.Array, init) -> tuple[jax.Arra
 @functools.partial(jax.jit, static_argnames=("n",))
 def whitespace_token_count(data: jax.Array, n: int) -> jax.Array:
     """Count of runs of non-whitespace codepoints (Unicode White_Space)."""
-    cps, count = utf8_decode(data, n)
-    is_ws = _class_of(cps, "whitespace_table").astype(bool)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    valid = pos < count
-    tok = valid & ~is_ws
-    prev = jnp.pad(tok, (1, 0))[:n]
-    return jnp.sum((tok & ~prev).astype(jnp.int32), dtype=jnp.int32)
+    cp, is_lead, _count = _byte_space(data, n)
+    is_ws = _class_of(cp, "whitespace_table").astype(bool)
+    tok = is_lead & ~is_ws
+    prev_tok = _prev1(tok, is_lead, False)
+    return jnp.sum((tok & ~prev_tok).astype(jnp.int32), dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def newline_split_count(data: jax.Array, n: int) -> jax.Array:
     """Count of segments delimited by Unicode newline functions
     (LF, VT, FF, CR, NEL, LS, PS; CRLF counts once)."""
-    cps, count = utf8_decode(data, n)
-    nl = _class_of(cps, "newline_table").astype(bool)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    valid = pos < count
-    nxt = jnp.pad(cps, (0, 1))[1 : n + 1]
-    crlf = (cps == 0x0D) & (nxt == 0x0A)
-    breaks = jnp.sum((nl & valid & ~crlf).astype(jnp.int32), dtype=jnp.int32)
+    cp, is_lead, _count = _byte_space(data, n)
+    nl = _class_of(cp, "newline_table").astype(bool) & is_lead
+    # CR and LF are single-byte, so CRLF adjacency is byte adjacency.
+    nxt = jnp.pad(cp, (0, 1))[1 : n + 1]
+    crlf = is_lead & (cp == 0x0D) & (nxt == 0x0A)
+    breaks = jnp.sum((nl & ~crlf).astype(jnp.int32), dtype=jnp.int32)
     return breaks + 1
 
 
@@ -133,29 +168,28 @@ def _cummax(x: jax.Array) -> jax.Array:
 def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], cluster_count) over ``data[:n]`` (UTF-8).
 
-    ``boundary[i]`` is True when a grapheme cluster starts at codepoint
-    slot i (slots are the compacted decode positions).
+    ``boundary[i]`` is True when a grapheme cluster starts at BYTE offset
+    i (engines run in byte-position space; boundaries land on lead bytes).
     """
-    cps, count = utf8_decode(data, n)
-    cls = _class_of(cps, "grapheme_break_table")
-    pict = _class_of(cps, "extended_pictographic_table").astype(bool)
-    prev = jnp.pad(cls, (1, 0))[:n]  # class of cp[i-1]; pad -> Other at i=0
+    cp, is_lead, count = _byte_space(data, n)
+    cls = jnp.where(is_lead, _class_of(cp, "grapheme_break_table"), _CONT)
+    pict = _class_of(cp, "extended_pictographic_table").astype(bool) & is_lead
+    prev = _prev1(cls, is_lead, jnp.int32(0))  # class of previous cp; 0 = Other
     G = _G
 
-    # GB12/13 RI parity: runs of RI ending at i-1 with odd length.
+    # GB12/13 RI parity: runs of RI ending at the previous cp, odd length.
     ri = cls == G["Regional_Indicator"]
     s = jnp.cumsum(ri.astype(jnp.int32))
-    base = _cummax(jnp.where(~ri, s, 0))
-    ri_run = s - base  # consecutive RIs ending at i (inclusive)
-    ri_run_prev = jnp.pad(ri_run, (1, 0))[:n]
+    base = _cummax(jnp.where(~ri & is_lead, s, 0))
+    ri_run = s - base  # consecutive RIs ending at this cp (inclusive)
+    ri_run_prev = _prev1(ri_run, is_lead, jnp.int32(0))
 
     # GB11 context: before the ZWJ at i-1, the last non-Extend cp is ExtPict.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    pe = _last_value(pict, cls != G["Extend"], False)
-    pe_before_zwj = jnp.pad(pe, (2, 0))[:n]  # pe at i-2
+    pe = _last_value(pict, (cls != G["Extend"]) & is_lead, False)
+    pe_before_zwj = _prev1(_prev1(pe, is_lead, False), is_lead, False)  # two cps back
 
     ctl = (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"])
-    ctl_prev = jnp.pad(ctl, (1, 0))[:n]
+    ctl_prev = _prev1(ctl, is_lead, False)
 
     no_break = jnp.zeros((n,), bool)
     # GB3: CR x LF
@@ -177,40 +211,39 @@ def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
 
     # GB9c (Unicode 15.1 Indic conjuncts): Consonant [Extend|Linker]*
     # Linker [Extend|Linker]* x Consonant.
-    incb = _class_of(cps, "incb_table")
+    incb = jnp.where(is_lead, _class_of(cp, "incb_table"), _CONT)
     el = (incb == 1) | (incb == 2)  # Extend | Linker
     linker_cum = jnp.cumsum((incb == 2).astype(jnp.int32))
-    # Class / linker-cumsum AT the last non-(Extend|Linker) position <= i-1.
-    incb_at_j = jnp.pad(_last_value(incb, ~el, -1), (1, 0), constant_values=-1)[:n]
-    cum_at_j = jnp.pad(_last_value(linker_cum, ~el, 0), (1, 0))[:n]
-    linker_at_prev = jnp.pad(linker_cum, (1, 0))[:n]  # cumsum through i-1
+    # Class / linker-cumsum AT the last non-(Extend|Linker) cp before this one.
+    incb_at_j = _prev1(_last_value(incb, ~el & is_lead, jnp.int32(-1)), is_lead, jnp.int32(-1))
+    cum_at_j = _prev1(_last_value(linker_cum, ~el & is_lead, jnp.int32(0)), is_lead, jnp.int32(0))
+    linker_at_prev = _prev1(linker_cum, is_lead, jnp.int32(0))  # through prev cp
     conjunct = (incb == 3) & (incb_at_j == 3) & ((linker_at_prev - cum_at_j) >= 1)
 
     no_break |= (~gb45) & (hangul | attach | prepend | zwj_pict | ri_pair | conjunct)
 
-    boundary = ~no_break
-    valid = idx < count
-    boundary &= valid
-    boundary = boundary.at[0].set(count > 0)
+    boundary = ~no_break & is_lead
+    boundary |= _first_lead(is_lead)
     return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+
+
+def _byte_segments(text: str, boundary_fn) -> list[str]:
+    """Split ``text`` at the byte-offset boundaries a byte-space engine
+    returns (boundaries land on lead bytes, so slices are valid UTF-8)."""
+    raw = text.encode()
+    data = np.frombuffer(raw, np.uint8)
+    n = data.shape[0]
+    if n == 0:
+        return []
+    boundary, _ = boundary_fn(jnp.asarray(data), n)
+    starts = np.flatnonzero(np.asarray(boundary))
+    ends = np.append(starts[1:], n)
+    return [raw[s:e].decode("utf-8") for s, e in zip(starts, ends)]
 
 
 def grapheme_clusters(text: str) -> list[str]:
     """Host oracle-facing API: split a string into grapheme clusters."""
-    data = np.frombuffer(text.encode(), np.uint8)
-    n = data.shape[0]
-    if n == 0:
-        return []
-    boundary, _ = grapheme_boundaries(jnp.asarray(data), n)
-    cps, count = utf8_decode(jnp.asarray(data), n)
-    cps = np.asarray(cps)[: int(count)]
-    b = np.asarray(boundary)[: int(count)]
-    out = []
-    starts = np.flatnonzero(b)
-    ends = np.append(starts[1:], count)
-    for s, e in zip(starts, ends):
-        out.append("".join(chr(c) for c in cps[s:e]))
-    return out
+    return _byte_segments(text, grapheme_boundaries)
 
 
 # ---------------------------------------------------------------------------
@@ -228,29 +261,29 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     The count reported is the number of *segments* (boundary count over
     [0, count), matching segment-iterator .count() semantics).
     """
-    cps, count = utf8_decode(data, n)
-    cls = _class_of(cps, "word_break_table")
-    pict = _class_of(cps, "extended_pictographic_table").astype(bool)
+    cp, is_lead, count = _byte_space(data, n)
+    cls = jnp.where(is_lead, _class_of(cp, "word_break_table"), _CONT)
+    pict = _class_of(cp, "extended_pictographic_table").astype(bool) & is_lead
     W = _W
-    idx = jnp.arange(n, dtype=jnp.int32)
-    valid = idx < count
 
     ignore = (cls == W["Extend"]) | (cls == W["Format"]) | (cls == W["ZWJ"])
     newline = (cls == W["CR"]) | (cls == W["LF"]) | (cls == W["Newline"])
 
     # Effective previous two classes (skip ignorables backwards): the
-    # ≤2-suffix scan replaces the chained positional gathers.
-    keep = ~ignore & valid
+    # ≤2-suffix scan replaces the chained positional gathers. Last-value
+    # outputs are flat between leads, so a one-byte pad shifts "<= this cp"
+    # to "strictly before this cp".
+    keep = ~ignore & is_lead
     last_cls, prev2_cls = _last_two_values(cls, keep, jnp.int32(-1))
-    prev_eff = jnp.pad(last_cls, (1, 0), constant_values=-1)[:n]  # < i
+    prev_eff = jnp.pad(last_cls, (1, 0), constant_values=-1)[:n]  # < this cp
     prev2_eff = jnp.pad(prev2_cls, (1, 0), constant_values=-1)[:n]
 
-    # Effective next class (skip ignorables forward, strictly after i).
+    # Effective next class (skip ignorables forward, strictly after this cp).
     next_cls = _next_value(cls, keep, jnp.int32(-1))
-    next_eff = jnp.pad(next_cls, (0, 1), constant_values=-1)[1 : n + 1]  # > i
+    next_eff = jnp.pad(next_cls, (0, 1), constant_values=-1)[1 : n + 1]
 
-    prev_raw = jnp.pad(cls, (1, 0))[:n]
-    prev_is_nl = jnp.pad(newline, (1, 0))[:n]
+    prev_raw = _prev1(cls, is_lead, jnp.int32(0))
+    prev_is_nl = _prev1(newline, is_lead, False)
 
     def isin(c, names):
         out = jnp.zeros(c.shape, bool)
@@ -264,7 +297,7 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     # RI parity over non-ignored RIs.
     ri = (cls == W["Regional_Indicator"]) & ~ignore
     s = jnp.cumsum(ri.astype(jnp.int32))
-    base = _cummax(jnp.where(~ri & ~ignore, s, 0))
+    base = _cummax(jnp.where(~ri & ~ignore & is_lead, s, 0))
     ri_run = s - base
     ri_run_prev_eff = jnp.pad(_last_value(ri_run, keep, 0), (1, 0))[:n]
 
@@ -279,10 +312,11 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     # WB3d: WSegSpace x WSegSpace (raw adjacency)
     no_break |= (prev_raw == W["WSegSpace"]) & (cls == W["WSegSpace"])
     # WB4: X (Extend|Format|ZWJ)* -> no break before ignorables
-    # (unless after sot / newline, handled via wb3ab and valid). X may
-    # itself be an ignorable (e.g. Extend at sot absorbs a following
-    # Extend — official WordBreakTest `÷ 0300 × 0300 ÷`).
-    no_break |= ignore & (idx > 0) & ~prev_is_nl
+    # (unless after sot / newline, handled via wb3ab). X may itself be an
+    # ignorable (e.g. Extend at sot absorbs a following Extend — official
+    # WordBreakTest `÷ 0300 × 0300 ÷`).
+    not_first_cp = jnp.cumsum(is_lead.astype(jnp.int32)) > 1
+    no_break |= ignore & not_first_cp & ~prev_is_nl
     # Rules on effective classes (current must be non-ignored).
     cur = jnp.where(ignore, jnp.int32(-2), cls)  # ignorables already decided
     pe, p2 = prev_eff, prev2_eff
@@ -304,24 +338,14 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     nb |= (pe == W["Regional_Indicator"]) & (cur == W["Regional_Indicator"]) & ((ri_run_prev_eff % 2) == 1)  # WB15/16
     no_break |= nb & ~wb3ab
 
-    boundary = ~no_break & valid
-    boundary = boundary.at[0].set(count > 0)
+    boundary = ~no_break & is_lead
+    boundary |= _first_lead(is_lead)
     return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
 
 
 def word_segments(text: str) -> list[str]:
     """Host API: split into TR29 word segments (including space runs)."""
-    data = np.frombuffer(text.encode(), np.uint8)
-    n = data.shape[0]
-    if n == 0:
-        return []
-    boundary, _ = word_boundaries(jnp.asarray(data), n)
-    cps, count = utf8_decode(jnp.asarray(data), n)
-    cps = np.asarray(cps)[: int(count)]
-    b = np.asarray(boundary)[: int(count)]
-    starts = np.flatnonzero(b)
-    ends = np.append(starts[1:], count)
-    return ["".join(chr(c) for c in cps[s:e]) for s, e in zip(starts, ends)]
+    return _byte_segments(text, word_boundaries)
 
 
 # ---------------------------------------------------------------------------
@@ -334,25 +358,23 @@ _S = {name: i for i, name in enumerate(tables.SB_VALUES)}
 @functools.partial(jax.jit, static_argnames=("n",))
 def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], sentence_count) per TR29 sentence rules."""
-    cps, count = utf8_decode(data, n)
-    cls = _class_of(cps, "sentence_break_table")
+    cp, is_lead, count = _byte_space(data, n)
+    cls = jnp.where(is_lead, _class_of(cp, "sentence_break_table"), _CONT)
     S = _S
-    idx = jnp.arange(n, dtype=jnp.int32)
-    valid = idx < count
 
     ign = (cls == S["Extend"]) | (cls == S["Format"])
     parasep = (cls == S["Sep"]) | (cls == S["CR"]) | (cls == S["LF"])
 
     # Effective class: ignorables attach to the previous non-ignorable
     # (SB5), except nothing attaches across ParaSep.
-    keep = ~ign & valid
+    keep = ~ign & is_lead
     eff = _last_value(cls, keep, jnp.int32(S["Other"]))
     parasep_at_keep = _last_value(parasep, keep, False)
     has_keep = _last_value(jnp.ones_like(cls), keep, 0) > 0
     eff = jnp.where(ign & parasep_at_keep & has_keep, jnp.int32(S["Other"]), eff)
 
-    prev_raw = jnp.pad(cls, (1, 0), constant_values=S["Other"])[:n]
-    prev_eff = jnp.pad(eff, (1, 0), constant_values=S["Other"])[:n]
+    prev_raw = _prev1(cls, is_lead, jnp.int32(S["Other"]))
+    prev_eff = _prev1(eff, is_lead, jnp.int32(S["Other"]))
 
     # prev2 effective (significant char before the previous one).
     _last_c, prev2_c = _last_two_values(cls, keep, jnp.int32(S["Other"]))
@@ -360,10 +382,10 @@ def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
 
     # Backward context at prev: skip Sp*, then Close*, then test SATerm.
     # Composition of two last-valid-value scans: f[i] = eff at the last
-    # non-Close position <= i; g[i] = f at the last non-Sp position <= i.
+    # non-Close cp <= i; g[i] = f at the last non-Sp cp <= i.
     other = jnp.int32(S["Other"])
-    f_ctx = _last_value(eff, (eff != S["Close"]) & valid, other)
-    g_ctx = _last_value(f_ctx, (eff != S["Sp"]) & valid, other)
+    f_ctx = _last_value(eff, (eff != S["Close"]) & is_lead, other)
+    g_ctx = _last_value(f_ctx, (eff != S["Sp"]) & is_lead, other)
     ctx_cls = jnp.pad(g_ctx, (1, 0), constant_values=S["Other"])[:n]  # at prev
     saterm_ctx = (ctx_cls == S["ATerm"]) | (ctx_cls == S["STerm"])
     aterm_ctx = ctx_cls == S["ATerm"]
@@ -376,7 +398,7 @@ def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
         (eff == S["OLetter"]) | (eff == S["Upper"]) | (eff == S["Lower"])
         | parasep | (eff == S["ATerm"]) | (eff == S["STerm"])
     )
-    next_stop_cls = _next_value(eff, stopper & valid, jnp.int32(S["Other"]))
+    next_stop_cls = _next_value(eff, stopper & is_lead, jnp.int32(S["Other"]))
 
     cur = eff
     # Build from lowest to highest precedence (later writes win).
@@ -407,31 +429,21 @@ def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     # SB6: ATerm x Numeric.
     boundary = jnp.where((prev_eff == S["ATerm"]) & (cur == S["Numeric"]), False, boundary)
     # SB5: x (Extend | Format) — unless after ParaSep.
-    prev_parasep = jnp.pad(parasep, (1, 0))[:n]
+    prev_parasep = _prev1(parasep, is_lead, False)
     boundary = jnp.where(ign & ~prev_parasep, False, boundary)
     # SB4: ParaSep ÷.
     boundary = jnp.where(prev_parasep, True, boundary)
     # SB3: CR x LF.
     boundary = jnp.where((prev_raw == S["CR"]) & (cls == S["LF"]), False, boundary)
 
-    boundary &= valid
-    boundary = boundary.at[0].set(count > 0)
+    boundary &= is_lead
+    boundary |= _first_lead(is_lead)
     return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
 
 
 def sentence_segments(text: str) -> list[str]:
     """Host API: split a string into TR29 sentence segments."""
-    data = np.frombuffer(text.encode(), np.uint8)
-    n = data.shape[0]
-    if n == 0:
-        return []
-    boundary, _ = sentence_boundaries(jnp.asarray(data), n)
-    cps, count = utf8_decode(jnp.asarray(data), n)
-    cps = np.asarray(cps)[: int(count)]
-    b = np.asarray(boundary)[: int(count)]
-    starts = np.flatnonzero(b)
-    ends = np.append(starts[1:], count)
-    return ["".join(chr(c) for c in cps[s:e]) for s, e in zip(starts, ends)]
+    return _byte_segments(text, sentence_boundaries)
 
 
 # ---------------------------------------------------------------------------
@@ -480,15 +492,13 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     tables derive from the runtime's unicodedata (UCD 15.0).
     """
     L = _lb_classes()
-    cps, count = utf8_decode(data, n)
-    cls = _lb_class_of(cps)
+    cp, is_lead, count = _byte_space(data, n)
+    cls = jnp.where(is_lead, _lb_class_of(cp), _CONT)
 
     # LB1 resolution: AI/SA/XX -> AL, CJ -> NS.
     cls = jnp.where((cls == L["AI"]) | (cls == L["SA"]) | (cls == L["XX"]), L["AL"], cls)
     cls = jnp.where(cls == L["CJ"], L["NS"], cls)
-
-    idx = jnp.arange(n, dtype=jnp.int32)
-    valid = idx < count
+    cls = jnp.where(is_lead, cls, _CONT)
 
     # LB9: X CM* -> X (CM/ZWJ attach to base unless base is BK/CR/LF/NL/SP/ZW).
     cm = (cls == L["CM"]) | (cls == L["ZWJ"])
@@ -496,19 +506,19 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
         (cls == L["BK"]) | (cls == L["CR"]) | (cls == L["LF"]) | (cls == L["NL"])
         | (cls == L["SP"]) | (cls == L["ZW"])
     )
-    base_mask = ~cm & valid
+    base_mask = ~cm & is_lead
     base_cls = _last_value(cls, base_mask, jnp.int32(L["AL"]))
     has_base = _last_value(jnp.ones_like(cls), base_mask, 0) > 0
     hard_at_base = _last_value(hard, base_mask, False)
     attached = cm & has_base & ~hard_at_base
     eff = jnp.where(cm, jnp.where(attached, base_cls, L["AL"]), cls)  # LB10: lone CM -> AL
 
-    prev_raw = jnp.pad(cls, (1, 0), constant_values=L["BK"])[:n]
-    prev = jnp.pad(eff, (1, 0), constant_values=L["BK"])[:n]
+    prev_raw = _prev1(cls, is_lead, jnp.int32(L["BK"]))
+    prev = _prev1(eff, is_lead, jnp.int32(L["BK"]))
 
     # SP*-skipping context (LB8/14/16/17): class before the space run.
     before_sp = jnp.pad(
-        _last_value(eff, (eff != L["SP"]) & valid, jnp.int32(L["BK"])),
+        _last_value(eff, (eff != L["SP"]) & is_lead, jnp.int32(L["BK"])),
         (1, 0),
         constant_values=L["BK"],
     )[:n]
@@ -526,8 +536,8 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     # RI parity (LB30a).
     ri = eff == L["RI"]
     s = jnp.cumsum(ri.astype(jnp.int32))
-    base = _cummax(jnp.where(~ri, s, 0))
-    ri_run_prev = jnp.pad(s - base, (1, 0))[:n]
+    base = _cummax(jnp.where(~ri & is_lead, s, 0))
+    ri_run_prev = _prev1(s - base, is_lead, jnp.int32(0))
 
     no_break = jnp.zeros((n,), bool)
     # LB6: x (BK|CR|LF|NL); LB5 CRxLF folded in via mandatory_prev.
@@ -558,7 +568,7 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     # LB21: x (BA|HY|NS); BB x.
     no_break |= isin(eff, ("BA", "HY", "NS")) | (prev == L["BB"])
     # LB21a: HL (HY|BA) x.
-    prev2 = jnp.pad(eff, (2, 0), constant_values=L["BK"])[:n]
+    prev2 = _prev1(prev, is_lead, jnp.int32(L["BK"]))
     no_break |= (prev2 == L["HL"]) & isin(prev, ("HY", "BA"))
     # LB21b: SY x HL.
     no_break |= (prev == L["SY"]) & (eff == L["HL"])
@@ -579,7 +589,7 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     no_break |= isin(prev, ("CL", "CP")) & isin(eff, ("PO", "PR"))
     # LB25 lookahead piece of the full regex: (PR|PO) x (OP|HY) NU — the
     # opener/hyphen glues to a following digit ("$ (100)", "US$-10").
-    nxt = jnp.concatenate([eff[1:], jnp.full((1,), L["BK"], eff.dtype)])
+    nxt = _next1(eff, is_lead, jnp.int32(L["BK"]))
     no_break |= (
         isin(prev, ("PR", "PO")) & isin(eff, ("OP", "HY")) & (nxt == L["NU"])
     )
@@ -609,8 +619,8 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     breaks |= mandatory_prev
     # LB8: ZW SP* -> break.
     breaks |= (before_sp == L["ZW"]) | (prev == L["ZW"])
-    breaks &= valid
-    breaks = breaks.at[0].set(False)  # LB2: no break at sot
+    breaks &= is_lead
+    breaks &= ~_first_lead(is_lead)  # LB2: no break at sot
     return breaks, jnp.sum(breaks.astype(jnp.int32), dtype=jnp.int32)
 
 
@@ -621,5 +631,6 @@ def line_break_positions(text: str) -> list[int]:
     if n == 0:
         return []
     breaks, _ = linebreak_opportunities(jnp.asarray(data), n)
-    cps, count = utf8_decode(jnp.asarray(data), n)
-    return np.flatnonzero(np.asarray(breaks)[: int(count)]).tolist()
+    is_lead = (data & 0xC0) != 0x80
+    cp_index = np.cumsum(is_lead) - 1  # codepoint index of each lead byte
+    return cp_index[np.flatnonzero(np.asarray(breaks))].tolist()
