@@ -194,6 +194,59 @@ def nfc_quick_check(cps: jax.Array, n: int, compat: bool = False) -> jax.Array:
     return jnp.all(jnp.take(inert, cps[:n]))
 
 
+@functools.lru_cache(maxsize=None)
+def _inert_steps(compat: bool):
+    """Inert table compiled to gather-free step rules (ops/rulemap)."""
+    from stringwars_tpu.ops.rulemap import compile_steps
+
+    table = _inert_np(compat).astype(np.int32)
+    return compile_steps(table), table
+
+
+@functools.partial(jax.jit, static_argnames=("compat",))
+def rows_inert(data: jax.Array, lengths: jax.Array, compat: bool = False) -> jax.Array:
+    """bool[B]: each UTF-8 row is normalization-inert (already NFC *and*
+    NFD verbatim: identity decomposition, ccc 0, not a combiner).
+
+    The production normalize path on TPU: real text is overwhelmingly
+    inert, so the per-row quick check (rule map, zero gathers) plus a
+    copy IS the normalize — the same fast path ICU's quick-check serves.
+    Non-inert rows route through the exact stream kernels.
+    """
+    from stringwars_tpu.ops.casefold import _decode_rows
+    from stringwars_tpu.ops.rulemap import step_map
+
+    rules, table = _inert_steps(compat)
+    cp, is_lead = _decode_rows(data.astype(jnp.int32), lengths)
+    ok = step_map(cp, rules, table).astype(bool)
+    return jnp.all(ok | ~is_lead, axis=1)
+
+
+def rows_inert_host(data_np: np.ndarray, lengths_np: np.ndarray, compat: bool = False) -> np.ndarray:
+    """Staging-time (numpy) twin of ``rows_inert`` for slow-row routing."""
+    _rules, table = _inert_steps(compat)
+    B, W = data_np.shape
+    b = data_np.astype(np.int64)
+    is_lead = (b & 0xC0) != 0x80
+    pos = np.arange(W)[None, :]
+    valid = pos < lengths_np[:, None]
+    # Inert check only needs lead-byte decoding; reuse the byte widths.
+    nxt = lambda k: (np.pad(b, ((0, 0), (0, k)))[:, k:] & 0x3F) if k else b  # noqa: E731
+    width = np.select(
+        [b < 0x80, b < 0xC0, b < 0xE0, b < 0xF0, b < 0xF8],
+        [1, 0, 2, 3, 4],
+        0,
+    )
+    b1, b2, b3 = nxt(1), nxt(2), nxt(3)
+    cp = np.select(
+        [width == 1, width == 2, width == 3],
+        [b, ((b & 0x1F) << 6) | b1, ((b & 0x0F) << 12) | (b1 << 6) | b2],
+        ((b & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3,
+    )
+    ok = table[np.clip(cp, 0, table.shape[0] - 1)].astype(bool)
+    return np.all(ok | ~(is_lead & valid), axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "compat"))
 def _nfc_padded(cps: jax.Array, n: int, compat: bool):
     nfd, count = decompose(cps, n, compat)

