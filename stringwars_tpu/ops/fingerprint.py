@@ -34,6 +34,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from stringwars_tpu.tape import PaddedTokens
 
@@ -97,15 +99,124 @@ def _gram_hashes(data: jax.Array, widths: tuple[int, ...]) -> dict[int, jax.Arra
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("ndim", "widths", "with_counts", "dim_chunk"))
+# ---------------------------------------------------------------------------
+# Pallas fast path: gram blocks stay in VMEM while a fori_loop walks the
+# dims — the XLA form materializes [B, W, dim_chunk] broadcasts through HBM
+# (ndim× memory amplification, the 0.64 GB/s wall of round 2); here each
+# dim is ~5 VPU ops on a resident block.
+# ---------------------------------------------------------------------------
+
+_FP_SUB = 8  # token rows per grid step
+
+
+def _fp_kernel(ndim: int, per_width: int, with_counts: bool):
+    def kernel(a_ref, b_ref, w_ref, g_ref, len_ref, out_ref, cnt_ref):
+        n_w, SUBB, W = g_ref.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (SUBB, W), 1)
+        lens = len_ref[:, :1]  # [SUBB, 1] broadcasts against [SUBB, W]
+
+        def dim_body(d, _):
+            wi = d // per_width
+            a = a_ref[d]
+            b = b_ref[d]
+            w = w_ref[wi]
+            g = g_ref[pl.ds(wi, 1)][0]
+            valid = pos <= jnp.maximum(lens - w, 0)
+            vals = jnp.where(valid, g * a + b, jnp.uint32(0xFFFFFFFF))
+            m = jnp.min(vals, axis=1, keepdims=True)  # [SUBB, 1]
+            out_ref[:, pl.ds(d, 1)] = _mix32(m)
+            if with_counts:
+                cnt_ref[:, pl.ds(d, 1)] = jnp.sum(
+                    (vals == m) & valid, axis=1, keepdims=True, dtype=jnp.int32
+                )
+            return ()
+
+        jax.lax.fori_loop(0, ndim, dim_body, ())
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ndim", "widths", "with_counts", "interpret"))
+def _fingerprint_pallas(
+    data: jax.Array,
+    lengths: jax.Array,
+    ndim: int,
+    widths: tuple[int, ...],
+    with_counts: bool,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl_mod  # noqa: F401 (import check)
+
+    B, W0 = data.shape
+    per_width = ndim // len(widths)
+    grams = _gram_hashes(data, widths)
+    W = -(-W0 // 128) * 128
+    Bp = -(-B // _FP_SUB) * _FP_SUB
+    g_stack = jnp.stack([grams[w] for w in widths], axis=1)  # [B, n_w, W0]
+    g_stack = jnp.pad(g_stack, ((0, Bp - B), (0, 0), (0, W - W0))).transpose(1, 0, 2)
+    len_meta = jnp.broadcast_to(
+        jnp.pad(lengths, (0, Bp - B))[:, None], (Bp, 128)
+    ).astype(jnp.int32)
+    a_np, b_np = dim_coefficients(ndim)
+    widths_arr = jnp.asarray(np.asarray(widths, np.int32))
+
+    n_w = len(widths)
+    outs = pl.pallas_call(
+        _fp_kernel(ndim, per_width, with_counts),
+        grid=(Bp // _FP_SUB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_w, _FP_SUB, W), lambda i: (0, i, 0)),
+            pl.BlockSpec((_FP_SUB, 128), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((_FP_SUB, ndim), lambda i: (i, 0)),
+            pl.BlockSpec((_FP_SUB, ndim), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, ndim), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, ndim), jnp.int32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(a_np), jnp.asarray(b_np), widths_arr, g_stack, len_meta)
+    min_hashes, min_counts = outs
+    return min_hashes[:B], (min_counts[:B] if with_counts else None)
+
+
 def fingerprint(
     tokens: PaddedTokens,
     ndim: int = 256,
     widths: tuple[int, ...] = WINDOW_WIDTHS,
     with_counts: bool = True,
     dim_chunk: int = 16,
+    *,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """MinHash signature of every token: (min_hashes [B, ndim], min_counts).
+
+    Dispatches to the Pallas VMEM-resident kernel on TPU (or when
+    ``interpret`` is set) and the XLA broadcast form elsewhere."""
+    if ndim % len(widths):
+        raise ValueError(f"ndim {ndim} not divisible by {len(widths)} widths")
+    use_pallas = jax.default_backend() == "tpu" if interpret is None else True
+    if use_pallas:
+        return _fingerprint_pallas(
+            tokens.data, tokens.lengths, ndim, widths, with_counts, bool(interpret)
+        )
+    return fingerprint_xla(tokens, ndim, widths, with_counts, dim_chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("ndim", "widths", "with_counts", "dim_chunk"))
+def fingerprint_xla(
+    tokens: PaddedTokens,
+    ndim: int = 256,
+    widths: tuple[int, ...] = WINDOW_WIDTHS,
+    with_counts: bool = True,
+    dim_chunk: int = 16,
+) -> tuple[jax.Array, jax.Array | None]:
+    """XLA broadcast form: the CPU path and the Pallas kernel's oracle.
 
     Dims are split evenly across ``widths`` (reference: NDIM/4 per width).
     Tokens shorter than a width contribute the hash of their zero-padded

@@ -62,3 +62,18 @@ def test_quality_metrics(rng):
 def test_ndim_divisibility():
     with pytest.raises(ValueError):
         fingerprint(_tokens([b"abc"]), ndim=10)
+
+
+def test_fingerprint_pallas_matches_xla(rng):
+    """The Pallas VMEM kernel reproduces the XLA form exactly."""
+    from stringwars_tpu.ops.fingerprint import fingerprint, fingerprint_xla
+    from stringwars_tpu.tape import PaddedTokens, Tape
+
+    tokens = [
+        bytes(rng.integers(32, 127, rng.integers(1, 90), dtype=np.uint8)) for _ in range(40)
+    ] + [b"", b"x", b"ab" * 40]
+    toks = PaddedTokens.from_tape(Tape.from_tokens([t or b"\x00" for t in tokens]), align=4)
+    want_h, want_c = fingerprint_xla(toks, ndim=64)
+    got_h, got_c = fingerprint(toks, ndim=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want_h))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
