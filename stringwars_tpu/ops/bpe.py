@@ -70,6 +70,27 @@ class MergeTable:
             vocab_size=256 + len(merges),
         )
 
+    def rule_maps(self):
+        """(rank_rules, id_rules) sparse equality maps for the gather-free
+        lookup (rank stored +1 so 0 means miss), or None when keys exceed
+        the rule evaluator's int32 domain (very large vocabularies)."""
+        cached = _TABLE_RULES.get(id(self))
+        if cached is not None:
+            return cached if cached != "none" else None
+        keys = np.asarray(self.sorted_keys, np.int64)
+        if keys.size == 0 or keys.max() >= 2**31 or keys.size > 4096:
+            _TABLE_RULES[id(self)] = "none"
+            return None
+        from stringwars_tpu.ops.rulemap import compile_sparse_values
+
+        rank_rules = compile_sparse_values(keys, np.asarray(self.ranks, np.int64) + 1)
+        id_rules = compile_sparse_values(keys, np.asarray(self.new_ids, np.int64))
+        _TABLE_RULES[id(self)] = (rank_rules, id_rules)
+        return rank_rules, id_rules
+
+
+_TABLE_RULES: dict = {}
+
 
 def train_merges(corpus_tokens: list[bytes], n_merges: int) -> list[tuple[int, int]]:
     """From-spec greedy BPE trainer (host): repeatedly merge the most
@@ -134,39 +155,48 @@ def bpe_encode_ref(token: bytes, merges: list[tuple[int, int]]) -> list[int]:
     return seq
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def _bpe_encode(ids, counts, sorted_keys, ranks, new_ids, max_iters: int):
-    """ids: int32 [B, W] (byte values, -1 past counts); counts: int32 [B]."""
+def _row_last_value(values: jax.Array, mask: jax.Array, init) -> jax.Array:
+    """Per-row (axis 1) last-valid-value scan."""
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    v, f = jax.lax.associative_scan(comb, (jnp.where(mask, values, 0), mask), axis=1)
+    return jnp.where(f, v, init)
+
+
+def _encode_impl(ids, counts, lookup, max_iters: int):
+    """Row-parallel exact greedy: every iteration merges ALL occurrences of
+    each row's minimum-rank pair (ties resolved left-to-right by run
+    parity). The row minimum can never be pre-empted — cascades from other
+    merges only create pairs that get compared on the NEXT iteration — so
+    the output matches the sequential greedy exactly. (Merging all
+    rank-local-minima per iteration is tempting but UNSOUND: a merge two
+    positions away can create a brand-new lower-rank pair that overlaps a
+    current local min, e.g. (69,259)→260 spawning (259,260) r5 which
+    pre-empts (251,259) r13.)
+    """
     B, W = ids.shape
     pos = jnp.arange(W, dtype=jnp.int32)[None, :]
-
-    def lookup(keys):
-        idx = jnp.searchsorted(sorted_keys, keys)
-        idx = jnp.minimum(idx, sorted_keys.shape[0] - 1)
-        hit = jnp.take(sorted_keys, idx) == keys
-        return (
-            jnp.where(hit, jnp.take(ranks, idx), _INF),
-            jnp.where(hit, jnp.take(new_ids, idx), -1),
-        )
 
     def step(state):
         ids, counts, _changed = state
         valid_pair = pos < (counts[:, None] - 1)
-        left = ids
         right = jnp.concatenate([ids[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
         keys = (
-            left.astype(jnp.uint32) << _KEY_SHIFT
+            ids.astype(jnp.uint32) << _KEY_SHIFT
         ) | (right.astype(jnp.uint32) & jnp.uint32(0xFFFF))
         pair_rank, pair_new = lookup(keys)
-        pair_rank = jnp.where(valid_pair, pair_rank, _INF)
-        best = jnp.min(pair_rank, axis=1, keepdims=True)  # [B, 1]
-        m = (pair_rank == best) & (best < _INF)
+        r = jnp.where(valid_pair, pair_rank, _INF)
+        best = jnp.min(r, axis=1, keepdims=True)  # [B, 1]
+        m = (r == best) & (best < _INF)
         # Left-to-right overlap resolution: within each run of consecutive
         # matches, only even run-positions merge ("aaaa" -> "aa","aa").
         not_m = ~m
         last_false = jax.lax.cummax(jnp.where(not_m, pos, -1), axis=1)
         runpos = pos - last_false - 1
-        do = m & (runpos % 2 == 0)
+        do = m & ((runpos & 1) == 0)
         eaten = jnp.concatenate([jnp.zeros((B, 1), bool), do[:, :-1]], axis=1)
         merged_ids = jnp.where(do, pair_new, ids)
         # Compact: dead (eaten) slots sort after alive ones, stably.
@@ -181,9 +211,6 @@ def _bpe_encode(ids, counts, sorted_keys, ranks, new_ids, max_iters: int):
     ids = jnp.where(pos < counts[:, None], ids, -1)
     state = (ids, counts, jnp.bool_(True), jnp.int32(0))
 
-    # Early-exit while_loop with a hard bound: each iteration merges >= 1
-    # pair in every still-active row, so W-1 iterations always suffice —
-    # but most batches drain in far fewer.
     def cond_fn(state):
         return state[2] & (state[3] < max_iters)
 
@@ -195,12 +222,68 @@ def _bpe_encode(ids, counts, sorted_keys, ranks, new_ids, max_iters: int):
     return ids, counts
 
 
-def bpe_encode(tokens: PaddedTokens, table: MergeTable) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _bpe_encode(ids, counts, sorted_keys, ranks, new_ids, max_iters: int):
+    """ids: int32 [B, W] (byte values, -1 past counts); counts: int32 [B].
+    Binary-search pair lookup (the CPU / large-vocab path)."""
+
+    def lookup(keys):
+        idx = jnp.searchsorted(sorted_keys, keys)
+        idx = jnp.minimum(idx, sorted_keys.shape[0] - 1)
+        hit = jnp.take(sorted_keys, idx) == keys
+        return (
+            jnp.where(hit, jnp.take(ranks, idx), _INF),
+            jnp.where(hit, jnp.take(new_ids, idx), -1),
+        )
+
+    return _encode_impl(ids, counts, lookup, max_iters)
+
+
+_RULE_ENCODERS: dict = {}
+
+
+def _rule_encoder(table: "MergeTable", max_iters: int, interpret: bool):
+    """Per-table jitted encoder with a rule-map pair lookup: the merge
+    table as sparse equality rules evaluated by the Pallas range kernel —
+    zero gathers per iteration (a TPU binary search costs ~10 serializing
+    gathers per pair)."""
+    key = (id(table), max_iters, interpret)
+    enc = _RULE_ENCODERS.get(key)
+    if enc is None:
+        from stringwars_tpu.ops import rulemap
+
+        rank_rules, id_rules = table.rule_maps()
+
+        def lookup(keys):
+            k = keys.astype(jnp.int32)
+            rank1 = rulemap.range_map(k, rank_rules, interpret=interpret)
+            newid = rulemap.range_map(k, id_rules, interpret=interpret)
+            return (
+                jnp.where(rank1 > 0, rank1 - 1, _INF),
+                jnp.where(rank1 > 0, newid, -1),
+            )
+
+        @jax.jit
+        def enc(ids, counts):
+            return _encode_impl(ids, counts, lookup, max_iters)
+
+        _RULE_ENCODERS[key] = enc
+    return enc
+
+
+def bpe_encode(
+    tokens: PaddedTokens, table: MergeTable, *, interpret: bool | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Encode every pretoken row: returns (ids int32 [B, W] with -1 padding,
     counts int32 [B])."""
     ids = tokens.data.astype(jnp.int32)
     counts = tokens.lengths.astype(jnp.int32)
     W = int(tokens.data.shape[1])
+    use_rules = (
+        (jax.default_backend() == "tpu") if interpret is None else True
+    ) and table.rule_maps() is not None
+    if use_rules:
+        return _rule_encoder(table, max(W - 1, 1), bool(interpret))(ids, counts)
     return _bpe_encode(
         ids, counts, table.sorted_keys, table.ranks, table.new_ids, max(W - 1, 1)
     )

@@ -79,3 +79,27 @@ def test_random_bytes(seed):
     merges = train_merges(words, 25)
     if merges:
         _check(words[:60], merges)
+
+
+def test_bpe_rules_encoder_matches_ref():
+    """The rule-map (Pallas) lookup path encodes identically."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, bpe_encode_ref, train_merges
+    from stringwars_tpu.tape import PaddedTokens
+
+    rng = np.random.default_rng(7)
+    words = [bytes(rng.integers(97, 105, rng.integers(1, 16))) for _ in range(200)]
+    merges = train_merges(words, 40)
+    table = MergeTable.from_merges(merges)
+    W = 16
+    data = np.zeros((64, W), np.uint8)
+    lengths = np.zeros(64, np.int32)
+    for i, t in enumerate(words[:64]):
+        data[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lengths[i] = len(t)
+    toks = PaddedTokens(data=jnp.asarray(data), lengths=jnp.asarray(lengths), width=W)
+    ids, counts = bpe_encode(toks, table, interpret=True)
+    ids, counts = np.asarray(ids), np.asarray(counts)
+    for i, t in enumerate(words[:64]):
+        assert ids[i, : counts[i]].tolist() == bpe_encode_ref(t, merges), t
