@@ -89,7 +89,10 @@ def test_bpe_rules_encoder_matches_ref():
     from stringwars_tpu.tape import PaddedTokens
 
     rng = np.random.default_rng(7)
-    words = [bytes(rng.integers(97, 105, rng.integers(1, 16))) for _ in range(200)]
+    words = [
+        bytes(rng.integers(97, 105, rng.integers(1, 16), dtype=np.uint8))
+        for _ in range(200)
+    ]
     merges = train_merges(words, 40)
     table = MergeTable.from_merges(merges)
     W = 16
