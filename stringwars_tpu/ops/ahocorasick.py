@@ -23,8 +23,14 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from stringwars_tpu.native import ac_build, ac_count_host
+
+_AC_SUB, _AC_LANES = 8, 128
+_AC_CHUNKS = _AC_SUB * _AC_LANES  # 1024 chunks ride the vector lanes
+_AC_KSTEP = 512  # byte columns per grid step (block = KSTEP * 4 KB VMEM)
 
 
 class Automaton:
@@ -123,6 +129,145 @@ def _ac_scan_mxu(delta_t, out_count_f, rows, gpos0, n: int, chunk: int):
     return jnp.sum(counts.astype(jnp.int32), dtype=jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Pallas fast path: the DFA transition delta[state, byte] over the FLAT key
+# ``state * 256 + byte`` is a step function of the key (ops/rulemap trick),
+# so one scan step costs 2 ops for the key plus 3 VPU ops per step
+# boundary — no gathers, no per-position matmul, and the whole column walk
+# runs inside one kernel with the state plane resident in VMEM.
+# ---------------------------------------------------------------------------
+
+def _ac_kernel(n_rules: int, n_oc: int, n_strips: int, overlap: int):
+    def kernel(
+        ks_ref, kd_ref, os_ref, od_ref, meta_ref,
+        bytes_ref, gpos0_ref, out_ref, state_ref, count_ref,
+    ):
+        strip = pl.program_id(0)
+
+        @pl.when(strip == 0)
+        def _():
+            state_ref[...] = jnp.zeros((_AC_SUB, _AC_LANES), jnp.int32)
+            count_ref[...] = jnp.zeros((_AC_SUB, _AC_LANES), jnp.int32)
+
+        n_glob = meta_ref[0]
+        limit = meta_ref[1]  # overlap + chunk: own positions end here
+        gpos0 = gpos0_ref[...]
+
+        def col(k, _):
+            byte = bytes_ref[k]
+            p = strip * _AC_KSTEP + k
+            state = state_ref[...]
+            key = state * 256 + byte
+
+            def rule(r, acc):
+                return acc + jnp.where(key >= ks_ref[r], kd_ref[r], 0)
+
+            nxt = jax.lax.fori_loop(0, n_rules, rule, jnp.zeros_like(key))
+            gpos = gpos0 + p
+            valid = (gpos >= 0) & (gpos < n_glob)
+            state = jnp.where(valid, nxt, state)
+            state_ref[...] = state
+
+            def oc(r, acc):
+                return acc + jnp.where(state >= os_ref[r], od_ref[r], 0)
+
+            hits = jax.lax.fori_loop(0, n_oc, oc, jnp.zeros_like(state))
+            count_ref[...] = count_ref[...] + jnp.where(
+                valid & (p >= overlap) & (p < limit), hits, 0
+            )
+            return ()
+
+        jax.lax.fori_loop(0, _AC_KSTEP, col, ())
+
+        @pl.when(strip == n_strips - 1)
+        def _():
+            out_ref[...] = count_ref[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_rules", "n_oc", "overlap", "interpret"))
+def _ac_scan_pallas(
+    key_starts, key_deltas, oc_starts, oc_deltas, meta, cols, gpos0,
+    n_rules: int, n_oc: int, overlap: int, interpret: bool = False,
+):
+    """cols: int32 [P, 8, 128] byte columns (P multiple of KSTEP)."""
+    n_strips = cols.shape[0] // _AC_KSTEP
+    out = pl.pallas_call(
+        _ac_kernel(n_rules, n_oc, n_strips, overlap),
+        grid=(n_strips,),
+        in_specs=[
+            *[pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)],
+            pl.BlockSpec((_AC_KSTEP, _AC_SUB, _AC_LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((_AC_SUB, _AC_LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_AC_SUB, _AC_LANES), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((_AC_SUB, _AC_LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((_AC_SUB, _AC_LANES), jnp.int32),
+            pltpu.VMEM((_AC_SUB, _AC_LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(key_starts, key_deltas, oc_starts, oc_deltas, meta, cols, gpos0)
+    return jnp.sum(out, dtype=jnp.int64).astype(jnp.int32)
+
+
+def stage_cols(hay_np: np.ndarray, n: int, max_len: int):
+    """Column-major staging for the Pallas scan: [P, 8, 128] byte columns,
+    chunk c (at sublane/lane position c) holds bytes
+    ``[c*chunk - overlap, (c+1)*chunk)`` like ``stage_rows``."""
+    overlap = max_len - 1
+    chunk = max(-(-n // _AC_CHUNKS), 1)
+    P = -(-(chunk + overlap) // _AC_KSTEP) * _AC_KSTEP
+    buf = np.zeros(_AC_CHUNKS * chunk + overlap + P, np.uint8)
+    buf[overlap : overlap + n] = hay_np[:n]
+    rows = np.lib.stride_tricks.sliding_window_view(buf, P)[::chunk][:_AC_CHUNKS]
+    cols = np.ascontiguousarray(rows.astype(np.int32).T.reshape(P, _AC_SUB, _AC_LANES))
+    gpos0 = (np.arange(_AC_CHUNKS, dtype=np.int32) * chunk - overlap).reshape(
+        _AC_SUB, _AC_LANES
+    )
+    return jnp.asarray(cols), jnp.asarray(gpos0), overlap, overlap + chunk
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_rules_cache():
+    return {}
+
+
+def automaton_rules(automaton: "Automaton"):
+    """(key step rules, out-count step rules) for the Pallas scan."""
+    cache = _flat_rules_cache()
+    got = cache.get(id(automaton))
+    if got is None:
+        from stringwars_tpu.ops.rulemap import compile_steps
+
+        key_rules = compile_steps(np.asarray(automaton.delta_flat, np.int64))
+        oc_rules = compile_steps(np.asarray(automaton.out_count, np.int64))
+        got = (key_rules, oc_rules)
+        cache[id(automaton)] = got
+    return got
+
+
+def ac_count_pallas(
+    automaton: "Automaton", hay, n: int | None = None, *, interpret: bool | None = None
+) -> int:
+    """Total occurrences via the Pallas flat-key rule scan."""
+    hay_np = np.asarray(hay, np.uint8)
+    n = int(hay_np.shape[0]) if n is None else n
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cols, gpos0, overlap, limit = stage_cols(hay_np, n, automaton.max_len)
+    key_rules, oc_rules = automaton_rules(automaton)
+    return int(
+        _ac_scan_pallas(
+            jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
+            jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
+            jnp.asarray([n, limit], jnp.int32), cols, gpos0,
+            key_rules.count, oc_rules.count, overlap, bool(interpret),
+        )
+    )
+
+
 def ac_count(
     automaton: Automaton,
     hay,
@@ -133,14 +278,16 @@ def ac_count(
 ) -> int:
     """Total occurrences of all patterns in ``hay[:n]`` (device scan).
 
-    ``use_mxu`` selects the matmul scan (default on the TPU backend, where
-    gathers serialize); the gather chain remains the CPU/interpret path.
-    ``chunk`` defaults to ~8192 lanes (MXU) / 4096 bytes (gather).
+    On TPU the default is the Pallas flat-key rule scan
+    (``ac_count_pallas``); ``use_mxu`` forces the legacy matmul scan; the
+    gather chain remains the CPU/interpret path.
     """
     hay_np = np.asarray(hay, np.uint8)
     n = int(hay_np.shape[0]) if n is None else n
     if use_mxu is None:
-        use_mxu = jax.default_backend() == "tpu"
+        if jax.default_backend() == "tpu":
+            return ac_count_pallas(automaton, hay_np, n)
+        use_mxu = False
     rows_dev, gpos0, chunk = stage_rows(hay_np, n, automaton.max_len, chunk, use_mxu)
     return int(ac_count_staged(automaton, rows_dev, gpos0, n, chunk, use_mxu))
 

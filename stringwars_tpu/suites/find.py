@@ -373,31 +373,59 @@ def bench_byteset(ctx: SuiteContext) -> None:
             routine = _sharded_byteset_routine(ctx, scope, tables)
         ctx.run(f"byteset-forward/swtpu::byteset_count{scope.name}", "bytes", routine)
 
-    from stringwars_tpu.ops.ahocorasick import _ac_scan, _ac_scan_mxu, stage_rows
+    from stringwars_tpu.ops.ahocorasick import (
+        _ac_scan,
+        _ac_scan_pallas,
+        automaton_rules,
+        stage_cols,
+        stage_rows,
+    )
     from stringwars_tpu.utils.harness import perturb_u8
 
     automata = {name: Automaton([bytes([c]) for c in cs]) for name, cs in BYTESETS.items()}
     hay_np = np.asarray(ctx.tape.data)[:n]
-    use_mxu = on_tpu()
     staged_acs = []
     flat_ac_consts: list = []
-    for a in automata.values():
-        rows_dev, gpos0, chunk = stage_rows(hay_np, n, a.max_len, None, use_mxu)
-        staged_acs.append((a, chunk))
-        if use_mxu:
-            flat_ac_consts += [a.delta_t, a.out_count_f, rows_dev, gpos0]
-        else:
+    if on_tpu():
+        # Pallas flat-key rule scan: DFA transitions as step rules walked
+        # with the state plane resident in VMEM (ops/ahocorasick).
+        for a in automata.values():
+            cols, gpos0, overlap, limit = stage_cols(hay_np, n, a.max_len)
+            key_rules, oc_rules = automaton_rules(a)
+            staged_acs.append((key_rules.count, oc_rules.count, overlap))
+            flat_ac_consts += [
+                jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
+                jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
+                jnp.asarray([n, limit], jnp.int32), cols, gpos0,
+            ]
+
+        def ac_body(s, e, *flat):
+            # Perturbing the DFA tables would corrupt state ids; perturb the
+            # haystack bytes instead — scan cost is data-independent.
+            outs = []
+            for i, (n_r, n_oc, overlap) in enumerate(staged_acs):
+                ks, kd, os_, od, meta, cols, gpos0 = flat[7 * i : 7 * i + 7]
+                outs.append(
+                    _ac_scan_pallas(
+                        ks, kd, os_, od, meta,
+                        cols ^ perturb_u8(s).astype(jnp.int32),
+                        gpos0, n_r, n_oc, overlap, False,
+                    )
+                )
+            return fold_salt(s, *outs), e
+
+    else:
+        for a in automata.values():
+            rows_dev, gpos0, chunk = stage_rows(hay_np, n, a.max_len, None, False)
+            staged_acs.append((a, chunk))
             flat_ac_consts += [a.delta_flat, a.out_count, rows_dev, gpos0]
 
-    def ac_body(s, e, *flat):
-        # Perturbing the DFA tables would corrupt state ids; perturb the
-        # haystack bytes instead — scan cost is data-independent.
-        outs = []
-        for i, (_a, chunk) in enumerate(staged_acs):
-            tab, out_c, rows_dev, gpos0 = flat[4 * i : 4 * i + 4]
-            scan = _ac_scan_mxu if use_mxu else _ac_scan
-            outs.append(scan(tab, out_c, rows_dev ^ perturb_u8(s), gpos0, n, chunk))
-        return fold_salt(s, *outs), e
+        def ac_body(s, e, *flat):
+            outs = []
+            for i, (_a, chunk) in enumerate(staged_acs):
+                tab, out_c, rows_dev, gpos0 = flat[4 * i : 4 * i + 4]
+                outs.append(_ac_scan(tab, out_c, rows_dev ^ perturb_u8(s), gpos0, n, chunk))
+            return fold_salt(s, *outs), e
 
     ctx.run(
         "byteset-forward/swtpu::aho_corasick<1chip>",

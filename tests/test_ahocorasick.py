@@ -58,3 +58,25 @@ def test_ac_byteset_equivalence(rng):
     hay = rng.integers(0, 256, 30_000, dtype=np.uint8)
     want = int(np.isin(hay, np.frombuffer(charset, np.uint8)).sum())
     assert ac_count(a, hay) == want
+
+
+def test_ac_pallas_matches_host(rng):
+    """Flat-key rule scan (Pallas, interpret) == native sequential count."""
+    from stringwars_tpu.ops.ahocorasick import Automaton, ac_count_pallas
+
+    hay = rng.integers(97, 103, 20_000, dtype=np.uint8)
+    patterns = [b"ab", b"bc", b"abc", b"aa", b"f"]
+    a = Automaton(patterns)
+    want = a.count_host(hay)
+    got = ac_count_pallas(a, hay, interpret=True)
+    assert got == want
+
+
+def test_ac_pallas_byteset_single_bytes(rng):
+    from stringwars_tpu.ops.ahocorasick import Automaton, ac_count_pallas
+
+    hay = rng.integers(0, 256, 9_000, dtype=np.uint8)
+    charset = b"0123456789"
+    a = Automaton([bytes([c]) for c in charset])
+    want = int(np.isin(hay, np.frombuffer(charset, np.uint8)).sum())
+    assert ac_count_pallas(a, hay, interpret=True) == want
