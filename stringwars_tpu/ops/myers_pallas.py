@@ -287,7 +287,13 @@ def myers_distances(batch: MyersBatch, *, interpret: bool | None = None) -> np.n
 
 
 def myers_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes]) -> MyersBatch:
-    """Byte-level staging from token lists."""
+    """Byte-level staging from token lists.
+
+    Small joint alphabets compress to dense codes at staging time: Eq
+    construction costs one select+AND per bitplane per word-column, so a
+    DNA-class corpus (<= 4 distinct bytes → 3 planes incl. the pad
+    sentinel) does a third of the 9-plane byte work. Distances are
+    unchanged (codes are a bijection on the observed bytes)."""
     B = len(a_tokens)
     A = max((len(t) for t in a_tokens), default=1)
     L = max((len(t) for t in b_tokens), default=1)
@@ -299,6 +305,14 @@ def myers_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes]) -> MyersBatc
         a[i, : len(x)] = np.frombuffer(x, np.uint8)
         b[i, : len(y)] = np.frombuffer(y, np.uint8)
         a_len[i], b_len[i] = len(x), len(y)
+    alphabet = np.union1d(
+        np.unique(np.concatenate([t for t in (a.reshape(-1), b.reshape(-1))])), []
+    ).astype(np.int64)
+    if alphabet.size <= 16:
+        code = np.zeros(256, np.int32)
+        code[alphabet] = np.arange(alphabet.size, dtype=np.int32)
+        nbits = max(int(alphabet.size - 1).bit_length(), 1) + 1
+        return MyersBatch(code[a], code[b], a_len, b_len, nbits=nbits)
     return MyersBatch(a, b, a_len, b_len, nbits=BYTE_BITS)
 
 

@@ -159,10 +159,8 @@ def bench_substring(ctx: SuiteContext, group: str) -> None:
     if not tokens:
         return
     backward = group == "substring-backward"
-    capacity = 16  # <= 61-byte needles; longer tokens skipped in cycling
-    usable = [t for t in tokens if len(t) <= 4 * capacity - 3]
-    if not usable:
-        return
+    capacity = 16  # default bucket; _min_cap picks per-needle buckets
+    usable = tokens  # EVERY token is a needle (reference find/bench.rs:56-93)
 
     # --- device variants, one row per scope -------------------------------
     for scope in ctx.scopes:
@@ -202,11 +200,25 @@ def bench_substring(ctx: SuiteContext, group: str) -> None:
     ctx.run(f"{group}/{name}", "bytes", host_routine)
 
 
+def _needle_cap(t: bytes) -> int:
+    """Capacity bucket for ANY needle length: panel buckets up to 505 B,
+    then 64-word-quantized capacities (keeps the jit-program count low
+    on long-line corpora)."""
+    for cap in (4, 8, 16, 32, 64, 127):
+        if len(t) <= 4 * cap - 3:
+            return cap
+    need = (len(t) + 6) // 4
+    return -(-need // 64) * 64
+
+
 def _min_cap(t: bytes, fallback: int) -> int:
     # Smallest capacity bucket whose max_m = 4*cap - 3 fits the needle:
-    # short needles in the 61-byte bucket pay 4x compare work (the 16 B
-    # case measured 5x slower at cap=16 vs cap=8).
-    for cap in (4, 8, 16):
+    # short needles in a big bucket pay proportionally more compare work
+    # (the 16 B case measured 5x slower at cap=16 vs cap=8). Buckets up to
+    # 127 words (505 B needles) fit the Pallas panel halo; longer tokens
+    # route through the XLA packed compare (no capacity ceiling) so the
+    # suite cycles EVERY token like the reference (find/bench.rs:56-93).
+    for cap in (4, 8, 16, 32, 64, 127):
         if len(t) <= 4 * cap - 3:
             return cap
     return fallback
@@ -217,8 +229,9 @@ def _single_chip_routine(ctx, usable, capacity, backward):
     if on_tpu():
         return _pallas_chained_routine(ctx, usable, capacity, backward, n)
 
-    hay, n = staged_haystack(ctx, capacity)
-    packed_cycle = itertools.cycle([F.pack_needle(t, capacity) for t in usable[:512]])
+    max_cap = max(_needle_cap(t) for t in usable[:512])
+    hay, n = staged_haystack(ctx, max_cap)
+    packed_cycle = itertools.cycle([F.pack_needle(t, _needle_cap(t)) for t in usable[:512]])
 
     def routine() -> WorkUnits:
         needle = next(packed_cycle)
@@ -253,23 +266,41 @@ def _pallas_chained_routine(ctx, usable, capacity, backward, n):
         s * jnp.uint32(0x9E3779B1), jnp.int32
     )
 
-    if backward:
-        packed = F.pack_needle(usable[0], _min_cap(usable[0], capacity))
-        words4, masks4, meta, k_words = _needle_operands(staged, packed)
+    panel_ok = [t for t in usable if len(t) <= 4 * 127 - 3]
+    huge = [t for t in usable if len(t) > 4 * 127 - 3][:2]
 
-        def body(s, e, rows, w4, m4, mt):
-            count, last = _count_last(rows, w4 ^ spread_of(s), m4, mt, k_words)
+    if backward:
+        if panel_ok:
+            packed = F.pack_needle(panel_ok[0], _min_cap(panel_ok[0], capacity))
+            words4, masks4, meta, k_words = _needle_operands(staged, packed)
+
+            def body(s, e, rows, w4, m4, mt):
+                count, last = _count_last(rows, w4 ^ spread_of(s), m4, mt, k_words)
+                return fold_salt(s, count, last), e
+
+            return DeviceRoutine(
+                body=body,
+                consts=(staged.rows, words4, masks4, meta),
+                units=WorkUnits(elements=1, bytes=n),
+            )
+        # Only huge needles: XLA rfind program (no capacity ceiling).
+        packed = F.pack_needle(usable[0], _needle_cap(usable[0]))
+        hay_flat = jnp.asarray(F._staged(jnp.asarray(np.asarray(ctx.tape.data)), n, packed.capacity))
+
+        def body(s, e, hay_c, w, m, ln):
+            nd = F.PackedNeedle(words=w ^ (s * jnp.uint32(0x9E3779B1)), masks=m, length=ln)
+            count, last = F._count_last_from_mask(hay_c, nd, n)
             return fold_salt(s, count, last), e
 
         return DeviceRoutine(
             body=body,
-            consts=(staged.rows, words4, masks4, meta),
+            consts=(hay_flat, packed.words, packed.masks, packed.length),
             units=WorkUnits(elements=1, bytes=n),
         )
 
     batch_size = 16
     by_cap: dict[int, list] = {}
-    for t in usable[:512]:
+    for t in panel_ok[:512]:
         by_cap.setdefault(_min_cap(t, capacity), []).append(F.pack_needle(t, _min_cap(t, capacity)))
     batches = [NeedleBatch(staged, packs[:batch_size]) for packs in by_cap.values()]
     flat_consts = []
@@ -278,18 +309,39 @@ def _pallas_chained_routine(ctx, usable, capacity, backward, n):
     total_needles = sum(b.size for b in batches)
     caps = [b.k_words for b in batches]
 
+    # Needles past the panel halo (505 B) ride the XLA packed compare in
+    # the same chained body, so long-line corpora measure the REAL
+    # every-token workload (reference find/bench.rs:56-93).
+    huge_consts = []
+    if huge:
+        hp = [F.pack_needle(t, _needle_cap(t)) for t in huge]
+        hay_flat = jnp.asarray(
+            F._staged(jnp.asarray(np.asarray(ctx.tape.data)), n, max(p.capacity for p in hp))
+        )
+        huge_consts = [hay_flat]
+        for p in hp:
+            huge_consts += [p.words, p.masks, p.length]
+
     def body(s, e, rows, *flat):
         spread = spread_of(s)
         outs = []
         for i, k_words in enumerate(caps):
             w4, m4, mt = flat[3 * i : 3 * i + 3]
             outs.append(_count_batch(rows, w4 ^ spread, m4, mt, k_words, False))
+        if huge:
+            base = 3 * len(caps)
+            hay_c = flat[base]
+            for j in range(len(huge)):
+                w, m, ln = flat[base + 1 + 3 * j : base + 4 + 3 * j]
+                nd = F.PackedNeedle(words=w ^ (s * jnp.uint32(0x9E3779B1)), masks=m, length=ln)
+                outs.append(F._count_from_mask(hay_c, nd, n))
         return fold_salt(s, *outs), e
 
+    total = total_needles + len(huge)
     return DeviceRoutine(
         body=body,
-        consts=(staged.rows, *flat_consts),
-        units=WorkUnits(elements=total_needles, bytes=total_needles * n),
+        consts=(staged.rows, *flat_consts, *huge_consts),
+        units=WorkUnits(elements=total, bytes=total * n),
     )
 
 
@@ -298,8 +350,9 @@ def _sharded_routine(ctx, scope, usable, capacity, backward):
     n = ctx.tape.total_bytes
     if on_tpu():
         return _sharded_pallas_routine(ctx, scope, usable, capacity, backward, data, n)
+    fitting = [t for t in usable if len(t) <= 4 * capacity - 3] or [usable[0][: 4 * capacity - 3]]
     step, rows = make_sharded_find(scope, data, n, capacity, backward)
-    packed = [F.pack_needle(t, capacity) for t in usable[:512]]
+    packed = [F.pack_needle(t, capacity) for t in fitting[:512]]
     repl = scope.replicated
     staged_cycle = itertools.cycle(
         [
