@@ -35,17 +35,23 @@ _ASCII_WS = (9, 10, 11, 12, 13, 32)
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _steps(table_name: str):
+def _steps(table_name: str, max_cp: int | None = None):
     from stringwars_tpu.ops.rulemap import compile_steps
 
     table = np.asarray(getattr(tables, table_name)())
-    return compile_steps(table), table
+    rules = compile_steps(table)
+    if max_cp is not None:
+        rules = rules.prune(max_cp)
+    return rules, table
 
 
-def _class_of(cps: jax.Array, table_name: str) -> jax.Array:
+def _class_of(cps: jax.Array, table_name: str, max_cp: int | None = None) -> jax.Array:
+    """Rule-map class lookup; ``max_cp`` (static, from staging) prunes the
+    boundary walk to the corpus' observed codepoint range — e.g. sentence
+    classes drop from ~3.4k boundaries to ~100 on Latin/Greek/Cyrillic."""
     from stringwars_tpu.ops.rulemap import step_map
 
-    rules, table = _steps(table_name)
+    rules, table = _steps(table_name, max_cp)
     return step_map(cps, rules, table)
 
 
@@ -130,22 +136,22 @@ def _last_two_values(values: jax.Array, mask: jax.Array, init) -> tuple[jax.Arra
 # Whitespace / newline splitting
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def whitespace_token_count(data: jax.Array, n: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
+def whitespace_token_count(data: jax.Array, n: int, *, max_cp: int | None = None) -> jax.Array:
     """Count of runs of non-whitespace codepoints (Unicode White_Space)."""
     cp, is_lead, _count = _byte_space(data, n)
-    is_ws = _class_of(cp, "whitespace_table").astype(bool)
+    is_ws = _class_of(cp, "whitespace_table", max_cp).astype(bool)
     tok = is_lead & ~is_ws
     prev_tok = _prev1(tok, is_lead, False)
     return jnp.sum((tok & ~prev_tok).astype(jnp.int32), dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def newline_split_count(data: jax.Array, n: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
+def newline_split_count(data: jax.Array, n: int, *, max_cp: int | None = None) -> jax.Array:
     """Count of segments delimited by Unicode newline functions
     (LF, VT, FF, CR, NEL, LS, PS; CRLF counts once)."""
     cp, is_lead, _count = _byte_space(data, n)
-    nl = _class_of(cp, "newline_table").astype(bool) & is_lead
+    nl = _class_of(cp, "newline_table", max_cp).astype(bool) & is_lead
     # CR and LF are single-byte, so CRLF adjacency is byte adjacency.
     nxt = jnp.pad(cp, (0, 1))[1 : n + 1]
     crlf = is_lead & (cp == 0x0D) & (nxt == 0x0A)
@@ -164,16 +170,16 @@ def _cummax(x: jax.Array) -> jax.Array:
     return jax.lax.associative_scan(jnp.maximum, x)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
+def grapheme_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], cluster_count) over ``data[:n]`` (UTF-8).
 
     ``boundary[i]`` is True when a grapheme cluster starts at BYTE offset
     i (engines run in byte-position space; boundaries land on lead bytes).
     """
     cp, is_lead, count = _byte_space(data, n)
-    cls = jnp.where(is_lead, _class_of(cp, "grapheme_break_table"), _CONT)
-    pict = _class_of(cp, "extended_pictographic_table").astype(bool) & is_lead
+    cls = jnp.where(is_lead, _class_of(cp, "grapheme_break_table", max_cp), _CONT)
+    pict = _class_of(cp, "extended_pictographic_table", max_cp).astype(bool) & is_lead
     prev = _prev1(cls, is_lead, jnp.int32(0))  # class of previous cp; 0 = Other
     G = _G
 
@@ -211,7 +217,7 @@ def grapheme_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
 
     # GB9c (Unicode 15.1 Indic conjuncts): Consonant [Extend|Linker]*
     # Linker [Extend|Linker]* x Consonant.
-    incb = jnp.where(is_lead, _class_of(cp, "incb_table"), _CONT)
+    incb = jnp.where(is_lead, _class_of(cp, "incb_table", max_cp), _CONT)
     el = (incb == 1) | (incb == 2)  # Extend | Linker
     linker_cum = jnp.cumsum((incb == 2).astype(jnp.int32))
     # Class / linker-cumsum AT the last non-(Extend|Linker) cp before this one.
@@ -253,8 +259,8 @@ def grapheme_clusters(text: str) -> list[str]:
 _W = {name: i for i, name in enumerate(tables.WB_VALUES)}
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
+def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], word_segment_count) per TR29 word rules.
 
     ``boundary[i]`` True = a word boundary exists before codepoint slot i.
@@ -262,8 +268,8 @@ def word_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     [0, count), matching segment-iterator .count() semantics).
     """
     cp, is_lead, count = _byte_space(data, n)
-    cls = jnp.where(is_lead, _class_of(cp, "word_break_table"), _CONT)
-    pict = _class_of(cp, "extended_pictographic_table").astype(bool) & is_lead
+    cls = jnp.where(is_lead, _class_of(cp, "word_break_table", max_cp), _CONT)
+    pict = _class_of(cp, "extended_pictographic_table", max_cp).astype(bool) & is_lead
     W = _W
 
     ignore = (cls == W["Extend"]) | (cls == W["Format"]) | (cls == W["ZWJ"])
@@ -355,11 +361,11 @@ def word_segments(text: str) -> list[str]:
 _S = {name: i for i, name in enumerate(tables.SB_VALUES)}
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def sentence_boundaries(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
+def sentence_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], sentence_count) per TR29 sentence rules."""
     cp, is_lead, count = _byte_space(data, n)
-    cls = jnp.where(is_lead, _class_of(cp, "sentence_break_table"), _CONT)
+    cls = jnp.where(is_lead, _class_of(cp, "sentence_break_table", max_cp), _CONT)
     S = _S
 
     ign = (cls == S["Extend"]) | (cls == S["Format"])
@@ -464,23 +470,26 @@ def _lb_classes():
 
 
 @functools.lru_cache(maxsize=None)
-def _lb_steps():
+def _lb_steps(max_cp: int | None = None):
     from stringwars_tpu.ops.rulemap import compile_steps
 
     table, _values = tables.line_break_table()
     table = np.asarray(table, np.int32)
-    return compile_steps(table), table
+    rules = compile_steps(table)
+    if max_cp is not None:
+        rules = rules.prune(max_cp)
+    return rules, table
 
 
-def _lb_class_of(cps: jax.Array) -> jax.Array:
+def _lb_class_of(cps: jax.Array, max_cp: int | None = None) -> jax.Array:
     from stringwars_tpu.ops.rulemap import step_map
 
-    rules, table = _lb_steps()
+    rules, table = _lb_steps(max_cp)
     return step_map(cps, rules, table)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
+def linebreak_opportunities(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
     """(break_allowed bool[n], opportunity_count) per UAX#14 core rules.
 
     ``break_allowed[i]`` = a line may break before codepoint slot i
@@ -493,7 +502,7 @@ def linebreak_opportunities(data: jax.Array, n: int) -> tuple[jax.Array, jax.Arr
     """
     L = _lb_classes()
     cp, is_lead, count = _byte_space(data, n)
-    cls = jnp.where(is_lead, _lb_class_of(cp), _CONT)
+    cls = jnp.where(is_lead, _lb_class_of(cp, max_cp), _CONT)
 
     # LB1 resolution: AI/SA/XX -> AL, CJ -> NS.
     cls = jnp.where((cls == L["AI"]) | (cls == L["SA"]) | (cls == L["XX"]), L["AL"], cls)
