@@ -46,10 +46,19 @@ SUB = 8
 LANES = 128
 TILE = SUB * LANES
 
+# 16-bit packing: two sublanes per 32-bit vreg row -> 2048 pairs/tile at
+# half the vector ops per pair. Scores must fit the headroom check in
+# ``_affine`` (sentinel -16384, worst-case decay ~5/diag stays > INT16_MIN).
+SUB16 = 16
 _NEG = -(1 << 20)
+_NEG16 = -(1 << 14)
 
 
-def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool):
+def _neg_for(dtype):
+    return jnp.array(_NEG16 if dtype == jnp.int16 else _NEG, dtype)
+
+
+def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, dtype, sub: int):
     AP1 = A + 1
     P0 = A  # reversed-b pad so the slice start P0 + L - d stays >= 0
     n_d = A + L + 1
@@ -59,18 +68,18 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
         # the pipeline and blow the VMEM budget); one DMA per tile.
         copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
         copy.start()
-        neg = jnp.int32(_NEG)
-        m_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
-        x_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
-        y_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
-        fin_ref[...] = jnp.full((AP1, SUB, LANES), neg, jnp.int32)
+        neg = _neg_for(dtype)
+        m_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
+        x_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
+        y_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
+        fin_ref[...] = jnp.full((AP1, sub, LANES), neg, dtype)
         copy.wait()
 
         alen = alen_ref[0]
         blen = blen_ref[0]
         dfin = alen + blen
-        a_chars = a_ref[0]  # [AP1, SUB, LANES]; row i = a[i-1], row 0 sentinel
-        ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, SUB, LANES), 0)
+        a_chars = a_ref[0]  # [AP1, sub, LANES]; row i = a[i-1], row 0 sentinel
+        ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, sub, LANES), 0)
 
         # No per-cell validity masking: the true DP rectangle (i <= alen,
         # j <= blen) only reads cells with smaller i and j, so it is closed
@@ -92,14 +101,14 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             y1u = y_ref[prev, pl.ds(1, AP1)][0]
 
             bc = rb_ref[pl.ds(P0 + L - d + 1, AP1)]  # b[j-1] along the diagonal
-            sub = jnp.where(a_chars == bc, jnp.int32(match), jnp.int32(mismatch))
+            subst = jnp.where(a_chars == bc, jnp.array(match, dtype), jnp.array(mismatch, dtype))
 
-            m_new = jnp.maximum(jnp.maximum(m2s, x2s), y2s) + sub
-            m_new = jnp.where((d == 0) & (ii == 0), jnp.int32(0), m_new)
+            m_new = jnp.maximum(jnp.maximum(m2s, x2s), y2s) + subst
+            m_new = jnp.where((d == 0) & (ii == 0), jnp.array(0, dtype), m_new)
             if local:
-                m_new = jnp.maximum(m_new, jnp.int32(0))
-            x_new = jnp.maximum(m1s + jnp.int32(go), x1s + jnp.int32(ge))
-            y_new = jnp.maximum(m1u + jnp.int32(go), y1u + jnp.int32(ge))
+                m_new = jnp.maximum(m_new, jnp.array(0, dtype))
+            x_new = jnp.maximum(m1s + jnp.array(go, dtype), x1s + jnp.array(ge, dtype))
+            y_new = jnp.maximum(m1u + jnp.array(go, dtype), y1u + jnp.array(ge, dtype))
 
             best = jnp.maximum(jnp.maximum(m_new, x_new), y_new)
             if local:
@@ -117,14 +126,14 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
         jax.lax.fori_loop(0, n_d, step, ())
         fin = fin_ref[...]
         if local:
-            out_ref[0] = jnp.max(fin, axis=0)
+            out_ref[0] = jnp.max(fin, axis=0).astype(jnp.int32)
         else:
-            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0)
+            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0).astype(jnp.int32)
 
     return kernel
 
 
-def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local: bool):
+def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local: bool, dtype, sub: int):
     """Single-matrix wavefront for linear gaps (go == ge): H[i,j] =
     max(H[i-1,j-1]+sub, H[i-1,j]+g, H[i,j-1]+g) — one slab pair instead
     of three, ~3× fewer VMEM ops per cell than the Gotoh form.
@@ -146,16 +155,16 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
     def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, fin_ref, rb_ref, sem):
         copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
         copy.start()
-        neg = jnp.int32(_NEG)
-        m_ref[...] = jnp.full((2, AP1 + 1, SUB, LANES), neg, jnp.int32)
-        fin_ref[...] = jnp.full((AP1, SUB, LANES), neg, jnp.int32)
+        neg = _neg_for(dtype)
+        m_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
+        fin_ref[...] = jnp.full((AP1, sub, LANES), neg, dtype)
         copy.wait()
 
         alen = alen_ref[0]
         blen = blen_ref[0]
         dfin = alen + blen
         a_chars = a_ref[0]
-        ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, SUB, LANES), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, sub, LANES), 0)
 
         def step(d, _):
             par = jax.lax.rem(d, 2)
@@ -166,14 +175,14 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
             m1u = m_ref[prev, pl.ds(1, AP1)][0]  # (i, j-1) of diag d-1
 
             bc = rb_ref[pl.ds(P0 + L - d + 1, AP1)]
-            sub = jnp.where(a_chars == bc, jnp.int32(match), jnp.int32(mismatch))
+            subst = jnp.where(a_chars == bc, jnp.array(match, dtype), jnp.array(mismatch, dtype))
 
             m_new = jnp.maximum(
-                m2s + sub, jnp.maximum(m1s, m1u) + jnp.int32(g)
+                m2s + subst, jnp.maximum(m1s, m1u) + jnp.array(g, dtype)
             )
-            m_new = jnp.where((d == 0) & (ii == 0), jnp.int32(0), m_new)
+            m_new = jnp.where((d == 0) & (ii == 0), jnp.array(0, dtype), m_new)
             if local:
-                m_new = jnp.maximum(m_new, jnp.int32(0))
+                m_new = jnp.maximum(m_new, jnp.array(0, dtype))
                 fin_ref[...] = jnp.maximum(fin_ref[...], m_new)
             else:
                 fin_ref[...] = jnp.where(d == dfin, m_new, fin_ref[...])
@@ -184,9 +193,9 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
         jax.lax.fori_loop(0, n_d, step, ())
         fin = fin_ref[...]
         if local:
-            out_ref[0] = jnp.max(fin, axis=0)
+            out_ref[0] = jnp.max(fin, axis=0).astype(jnp.int32)
         else:
-            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0)
+            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0).astype(jnp.int32)
 
     return kernel
 
@@ -196,28 +205,41 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
 )
 def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, interpret: bool):
     n_bt = a_chars.shape[0]
-    meta_spec = pl.BlockSpec((1, SUB, LANES), lambda bt: (bt, 0, 0))
+    dtype = a_chars.dtype
+    sub = a_chars.shape[2]
+    if dtype == jnp.int16:
+        # Headroom proof for the 16-bit lane packing: real scores are
+        # bounded by (A+L)·max|cost| from 0, sentinel cells start at
+        # -16384 and decay at most max|cost| per diagonal — both must
+        # stay inside int16.
+        worst = (A + L + 2) * max(abs(match), abs(mismatch), abs(go), abs(ge))
+        if _NEG16 - worst < -(1 << 15) + 1 or worst >= (1 << 14):
+            raise ValueError(
+                f"scores for A={A}, L={L}, costs ({match},{mismatch},{go},{ge}) "
+                "overflow the packed-int16 kernel; stage with pack16=False"
+            )
+    meta_spec = pl.BlockSpec((1, sub, LANES), lambda bt: (bt, 0, 0))
     if go == ge:
-        kernel = _make_kernel_linear(A, L, match, mismatch, go, local)
+        kernel = _make_kernel_linear(A, L, match, mismatch, go, local, dtype, sub)
         slabs = 1
     else:
-        kernel = _make_kernel(A, L, match, mismatch, go, ge, local)
+        kernel = _make_kernel(A, L, match, mismatch, go, ge, local, dtype, sub)
         slabs = 3
     return pl.pallas_call(
         kernel,
         grid=(n_bt,),
         in_specs=[
-            pl.BlockSpec((1, A + 1, SUB, LANES), lambda bt: (bt, 0, 0, 0)),
+            pl.BlockSpec((1, A + 1, sub, LANES), lambda bt: (bt, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             meta_spec,
             meta_spec,
         ],
         out_specs=meta_spec,
-        out_shape=jax.ShapeDtypeStruct((n_bt, SUB, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_bt, sub, LANES), jnp.int32),
         scratch_shapes=[
-            *[pltpu.VMEM((2, A + 2, SUB, LANES), jnp.int32) for _ in range(slabs)],
-            pltpu.VMEM((A + 1, SUB, LANES), jnp.int32),  # fin: per-row extraction
-            pltpu.VMEM((rb_pad.shape[1], SUB, LANES), jnp.int32),
+            *[pltpu.VMEM((2, A + 2, sub, LANES), dtype) for _ in range(slabs)],
+            pltpu.VMEM((A + 1, sub, LANES), dtype),  # fin: per-row extraction
+            pltpu.VMEM((rb_pad.shape[1], sub, LANES), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -225,35 +247,43 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
 
 
 class AffineBatch:
-    """Pairs staged for the Gotoh kernel (host-side tiling + reversal)."""
+    """Pairs staged for the Gotoh kernel (host-side tiling + reversal).
 
-    def __init__(self, a: np.ndarray, b: np.ndarray, a_len: np.ndarray, b_len: np.ndarray):
-        a = np.asarray(a, np.int32)
-        b = np.asarray(b, np.int32)
+    ``pack16=True`` stages chars and DP state as int16 on 16-sublane
+    tiles (2048 pairs each): two cells share a 32-bit vreg lane, halving
+    the vector ops per pair. Safe whenever scores fit the headroom check
+    in ``_affine`` (it raises otherwise)."""
+
+    def __init__(self, a: np.ndarray, b: np.ndarray, a_len: np.ndarray, b_len: np.ndarray, *, pack16: bool = False):
+        dt = np.int16 if pack16 else np.int32
+        sub = SUB16 if pack16 else SUB
+        tile_pairs = sub * LANES
+        a = np.asarray(a, dt)
+        b = np.asarray(b, dt)
         B, A = a.shape
         L = b.shape[1]
         self.count = B
         self.A, self.L = A, L
-        n_bt = max(1, -(-B // TILE))
-        Bp = n_bt * TILE
+        n_bt = max(1, -(-B // tile_pairs))
+        Bp = n_bt * tile_pairs
 
         def tile(v2d, fill):
-            out = np.full((Bp, v2d.shape[1]), fill, np.int32)
+            out = np.full((Bp, v2d.shape[1]), fill, dt)
             out[:B] = v2d
-            return out.reshape(n_bt, TILE, -1).transpose(0, 2, 1).reshape(
-                n_bt, -1, SUB, LANES
+            return out.reshape(n_bt, tile_pairs, -1).transpose(0, 2, 1).reshape(
+                n_bt, -1, sub, LANES
             )
 
         # a row i-1 -> slab row i; row 0 = sentinel that never matches.
-        a_shift = np.full((B, A + 1), -2, np.int32)
+        a_shift = np.full((B, A + 1), -2, dt)
         a_shift[:, 1:] = np.where(
-            np.arange(A)[None, :] < np.asarray(a_len)[:, None], a, -2
+            np.arange(A)[None, :] < np.asarray(a_len)[:, None], a, dt(-2)
         )
         # b reversed with sentinel pads: slice start P0 + L - d + 1, P0 = A.
         RP = 2 * A + L + 2
-        rb = np.full((B, RP), -1, np.int32)
+        rb = np.full((B, RP), -1, dt)
         valid_b = np.arange(L)[None, :] < np.asarray(b_len)[:, None]
-        rb[:, A + 1 : A + 1 + L] = np.where(valid_b, b, -1)[:, ::-1]
+        rb[:, A + 1 : A + 1 + L] = np.where(valid_b, b, dt(-1))[:, ::-1]
 
         self.a_chars = jnp.asarray(tile(a_shift, -2))
         self.rb_pad = jnp.asarray(tile(rb, -1))
@@ -261,7 +291,7 @@ class AffineBatch:
         def meta(v):
             out = np.zeros(Bp, np.int32)
             out[:B] = v
-            return jnp.asarray(out.reshape(n_bt, SUB, LANES))
+            return jnp.asarray(out.reshape(n_bt, sub, LANES))
 
         self.alen = meta(np.asarray(a_len, np.int32))
         self.blen = meta(np.asarray(b_len, np.int32))
@@ -311,7 +341,7 @@ def affine_scores(
     return flat
 
 
-def affine_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes]) -> AffineBatch:
+def affine_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes], *, pack16: bool = False) -> AffineBatch:
     """Byte-level staging from token lists."""
     B = len(a_tokens)
     A = max((len(t) for t in a_tokens), default=1)
@@ -324,4 +354,4 @@ def affine_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes]) -> AffineBa
         a[i, : len(x)] = np.frombuffer(x, np.uint8)
         b[i, : len(y)] = np.frombuffer(y, np.uint8)
         a_len[i], b_len[i] = len(x), len(y)
-    return AffineBatch(a, b, a_len, b_len)
+    return AffineBatch(a, b, a_len, b_len, pack16=pack16)

@@ -119,7 +119,7 @@ def _myers_routine(scope: DeviceScope, cells, total_bytes, tokens) -> DeviceRout
     def run(bp, b_cols, blen, lastw, lastr, alen, pert):
         # XOR the text codes (bits 0..7 feed Eq; distances change, cost
         # does not). Pattern planes must stay intact (sentinel semantics).
-        return _myers(bp, b_cols ^ pert, blen, lastw, lastr, alen, mb.n_words, mb.nbits, False)
+        return _myers(bp, b_cols ^ pert, blen, lastw, lastr, alen, mb.n_words, mb.nbits, False, last_word=mb.last_word)
 
     if scope.chips > 1:
         consts = tuple(shard_tiles(scope, consts))
@@ -147,12 +147,17 @@ def _gotoh_routine(scope: DeviceScope, cells, total_bytes, gotoh) -> DeviceRouti
     from stringwars_tpu.ops.affine_pallas import _affine, affine_from_tokens
 
     ta, tb, mt, mm, go, ge, local = gotoh
-    ab = affine_from_tokens(ta, tb)
+    # Packed-int16 lanes (2 cells per vreg lane) whenever scores fit;
+    # the corpus-driven A/L and costs are known at staging time.
+    amax = max((len(t) for t in ta), default=1)
+    lmax = max((len(t) for t in tb), default=1)
+    pack16 = (amax + lmax + 2) * max(abs(mt), abs(mm), abs(go), abs(ge)) < (1 << 14)
+    ab = affine_from_tokens(ta, tb, pack16=pack16)
     consts = (ab.a_chars, ab.rb_pad, ab.alen, ab.blen)
 
     def run(a_chars, rb_pad, alen, blen, pert):
         # Perturb query chars, preserving negative padding sentinels.
-        a2 = jnp.where(a_chars >= 0, a_chars ^ pert, a_chars)
+        a2 = jnp.where(a_chars >= 0, a_chars ^ pert.astype(a_chars.dtype), a_chars)
         return _affine(a2, rb_pad, alen, blen, ab.A, ab.L, mt, mm, go, ge, local, False)
 
     if scope.chips > 1:

@@ -11,11 +11,12 @@ def _rand_tokens(rng, n, lo, hi):
     return [bytes(rng.integers(65, 69, rng.integers(lo, hi), dtype=np.uint8)) for _ in range(n)]
 
 
+@pytest.mark.parametrize("pack16", [False, True])
 @pytest.mark.parametrize("local", [False, True])
-def test_affine_matches_oracle(rng, local):
+def test_affine_matches_oracle(rng, local, pack16):
     a_toks = _rand_tokens(rng, 33, 1, 40)
     b_toks = _rand_tokens(rng, 33, 1, 40)
-    batch = affine_from_tokens(a_toks, b_toks)
+    batch = affine_from_tokens(a_toks, b_toks, pack16=pack16)
     got = affine_scores(batch, local=local, interpret=True)
     ref = S.sw_ref if local else S.nw_ref
     for i, (x, y) in enumerate(zip(a_toks, b_toks)):
@@ -46,11 +47,12 @@ def test_affine_empty_and_edge():
     assert got[2] == 0
 
 
+@pytest.mark.parametrize("pack16", [False, True])
 @pytest.mark.parametrize("local", [False, True])
-def test_linear_matches_oracle(rng, local):
+def test_linear_matches_oracle(rng, local, pack16):
     a_toks = _rand_tokens(rng, 33, 1, 40)
     b_toks = _rand_tokens(rng, 33, 1, 40)
-    batch = affine_from_tokens(a_toks, b_toks)
+    batch = affine_from_tokens(a_toks, b_toks, pack16=pack16)
     got = affine_scores(batch, gap_open=-2, gap_extend=-2, local=local, interpret=True)
     ref = S.sw_ref if local else S.nw_ref
     for i, (x, y) in enumerate(zip(a_toks, b_toks)):
@@ -70,3 +72,9 @@ def test_linear_matches_xla_scan(rng):
     want = np.asarray(S.nw_score_linear(pairs))
     got = affine_scores(AffineBatch(a, b, a_len, b_len), gap_open=-2, gap_extend=-2, interpret=True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pack16_overflow_guard():
+    batch = affine_from_tokens([b"ab" * 400], [b"ab" * 400], pack16=True)
+    with pytest.raises(ValueError, match="pack16"):
+        affine_scores(batch, match=30, mismatch=-30, gap_open=-30, gap_extend=-30, interpret=True)
