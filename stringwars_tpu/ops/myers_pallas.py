@@ -46,7 +46,7 @@ BYTE_BITS = 9  # bits 0..7 data + bit 8 pad sentinel
 CP_BITS = 22  # bits 0..20 codepoint + bit 21 pad sentinel
 
 
-def _make_kernel(n_words: int, nbits: int, n_js: int):
+def _make_kernel(n_words: int, nbits: int, n_js: int, last_word: int = -1):
     def kernel(bp_ref, b_ref, blen_ref, lastw_ref, lastr_ref, alen_ref, out_ref, vp_ref, vn_ref, score_ref):
         js = pl.program_id(1)
 
@@ -87,12 +87,16 @@ def _make_kernel(n_words: int, nbits: int, n_js: int):
                 hp_out = ph >> 31
                 hn_out = mh >> 31
                 # Score row m: horizontal delta = bit (m-1)%32 of the
-                # unshifted Ph/Mh of word (m-1)//32.
-                upd = (lastw == w) & in_text
-                delta = ((ph >> lastr) & one).astype(jnp.int32) - (
-                    (mh >> lastr) & one
-                ).astype(jnp.int32)
-                score = score + jnp.where(upd, delta, 0)
+                # unshifted Ph/Mh of word (m-1)//32. When every pair's
+                # pattern ends in the same word (uniform lengths,
+                # ``last_word`` static) the tracking runs on that word
+                # only — ~6 vector ops saved on each other word.
+                if last_word < 0 or w == last_word:
+                    upd = in_text if w == last_word else (lastw == w) & in_text
+                    delta = ((ph >> lastr) & one).astype(jnp.int32) - (
+                        (mh >> lastr) & one
+                    ).astype(jnp.int32)
+                    score = score + jnp.where(upd, delta, 0)
                 phs = (ph << 1) | hp_in
                 mhs = (mh << 1) | hn_in
                 vp_ref[w] = mhs | ~(xv | phs)
@@ -108,13 +112,18 @@ def _make_kernel(n_words: int, nbits: int, n_js: int):
     return kernel
 
 
-def _make_kernel_loop(n_words: int, nbits: int, n_js: int):
+def _make_kernel_loop(n_words: int, nbits: int, n_js: int, last_word: int = -1):
     """Loop-form twin of ``_make_kernel``: ``fori_loop`` over columns and
     words with dynamic VMEM indexing instead of a ~4000-op full unroll.
 
     Mosaic compile time scales with kernel body size — the unrolled form
     takes tens of minutes server-side for wide shapes, which is worse than
-    the few % of runtime the loop counters cost."""
+    the few % of runtime the loop counters cost.
+
+    When all patterns end in the same word (``last_word`` static >= 0)
+    the score tracking peels out of the word loop: untracked words run
+    ~6 vector ops lighter and only the peeled last word updates scores.
+    """
 
     def kernel(bp_ref, b_ref, blen_ref, lastw_ref, lastr_ref, alen_ref, out_ref, vp_ref, vn_ref, score_ref):
         js = pl.program_id(1)
@@ -136,8 +145,8 @@ def _make_kernel_loop(n_words: int, nbits: int, n_js: int):
             c = b_ref[0, jc]  # [SUB, LANES] int32
             in_text = j < blen
 
-            def word_body(w, carry):
-                hp_in, hn_in, score = carry
+            def advance(w, hp_in, hn_in):
+                """One word-block step; returns (ph, mh, hp_out, hn_out)."""
                 eq = jnp.full((SUB, LANES), 0xFFFFFFFF, jnp.uint32)
                 for bit in range(nbits - 1):
                     bp = bp_ref[0, bit, w]
@@ -151,23 +160,45 @@ def _make_kernel_loop(n_words: int, nbits: int, n_js: int):
                 xh = ((x + vp) ^ vp) | eq2
                 ph = vn | ~(xh | vp)
                 mh = vp & xh
-                upd = (lastw == w) & in_text
-                delta = ((ph >> lastr) & one).astype(jnp.int32) - (
-                    (mh >> lastr) & one
-                ).astype(jnp.int32)
-                score = score + jnp.where(upd, delta, 0)
                 phs = (ph << 1) | hp_in
                 mhs = (mh << 1) | hn_in
                 vp_ref[w] = mhs | ~(xv | phs)
                 vn_ref[w] = phs & xv
-                return ph >> 31, mh >> 31, score
+                return ph, mh, ph >> 31, mh >> 31
+
+            def delta_of(ph, mh):
+                return ((ph >> lastr) & one).astype(jnp.int32) - (
+                    (mh >> lastr) & one
+                ).astype(jnp.int32)
 
             hp0 = jnp.full((SUB, LANES), one)
             hn0 = jnp.full((SUB, LANES), zero)
-            _, _, score = jax.lax.fori_loop(
-                0, n_words, word_body, (hp0, hn0, score_ref[...])
-            )
-            score_ref[...] = score
+
+            if last_word >= 0:
+
+                def word_body(w, carry):
+                    hp_in, hn_in = carry
+                    _, _, hp_out, hn_out = advance(w, hp_in, hn_in)
+                    return hp_out, hn_out
+
+                hp, hn = jax.lax.fori_loop(0, last_word, word_body, (hp0, hn0))
+                ph, mh, _, _ = advance(last_word, hp, hn)
+                score_ref[...] = score_ref[...] + jnp.where(
+                    in_text, delta_of(ph, mh), 0
+                )
+            else:
+
+                def word_body(w, carry):
+                    hp_in, hn_in, score = carry
+                    ph, mh, hp_out, hn_out = advance(w, hp_in, hn_in)
+                    upd = (lastw == w) & in_text
+                    score = score + jnp.where(upd, delta_of(ph, mh), 0)
+                    return hp_out, hn_out, score
+
+                _, _, score = jax.lax.fori_loop(
+                    0, n_words, word_body, (hp0, hn0, score_ref[...])
+                )
+                score_ref[...] = score
             return ()
 
         jax.lax.fori_loop(0, JC, col_body, ())
@@ -179,14 +210,14 @@ def _make_kernel_loop(n_words: int, nbits: int, n_js: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_words", "nbits", "interpret", "loop"))
-def _myers(bp, b_cols, blen, lastw, lastr, alen, n_words: int, nbits: int, interpret: bool = False, *, loop: bool = True):
+@functools.partial(jax.jit, static_argnames=("n_words", "nbits", "interpret", "loop", "last_word"))
+def _myers(bp, b_cols, blen, lastw, lastr, alen, n_words: int, nbits: int, interpret: bool = False, *, loop: bool = True, last_word: int = -1):
     n_bt = bp.shape[0]
     n_js = b_cols.shape[1] // JC
     make = _make_kernel_loop if loop else _make_kernel
     meta_spec = pl.BlockSpec((1, SUB, LANES), lambda bt, js: (bt, 0, 0))
     out = pl.pallas_call(
-        make(n_words, nbits, n_js),
+        make(n_words, nbits, n_js, last_word),
         grid=(n_bt, n_js),
         in_specs=[
             pl.BlockSpec((1, nbits, n_words, SUB, LANES), lambda bt, js: (bt, 0, 0, 0, 0)),
@@ -249,6 +280,9 @@ class MyersBatch:
         blen = np.asarray(b_len, np.int64)
         lastw = np.where(alen > 0, (alen - 1) // 32, -1).astype(np.int32)
         lastr = np.where(alen > 0, (alen - 1) % 32, 0).astype(np.int32)
+        # Static specialization: all patterns end in one word -> the
+        # kernel peels score tracking out of the word loop.
+        self.last_word = int(lastw[0]) if (B > 0 and lastw.min() == lastw.max() and lastw[0] >= 0) else -1
 
         self.bp = jnp.asarray(bp)
         self.b_cols = jnp.asarray(b_cols)
@@ -277,6 +311,7 @@ def myers_distances(batch: MyersBatch, *, interpret: bool | None = None) -> np.n
         batch.n_words,
         batch.nbits,
         interpret,
+        last_word=batch.last_word,
     )
     flat = np.asarray(out).reshape(-1)[: batch.count].astype(np.int64)
     # Empty pattern: the kernel never updates score (lastw == -1); the

@@ -112,3 +112,14 @@ def test_myers_sharded_tiles_match_single_device(rng):
     )
     sharded = np.asarray(stepped(*consts))
     np.testing.assert_array_equal(sharded[: single.shape[0]], single)
+
+
+def test_myers_uniform_multiword_peel(rng):
+    """Uniform pattern lengths spanning >1 word trigger the static
+    last-word peel (score tracking outside the word loop)."""
+    n, m = 64, 40  # W=2, last_word=1
+    a_tokens = [bytes(rng.integers(97, 105, m, dtype=np.uint8)) for _ in range(n)]
+    b_tokens = [bytes(rng.integers(97, 105, int(rng.integers(1, 60)), dtype=np.uint8)) for _ in range(n)]
+    batch = myers_from_tokens(a_tokens, b_tokens)
+    assert batch.last_word == 1
+    check_pairs(a_tokens, b_tokens)
