@@ -146,8 +146,8 @@ def run_benches():
         max_wait = float(sys.argv[sys.argv.index("--max-wait") + 1])
     selected = _BENCHES
     if "--only" in sys.argv:
-        want = sys.argv[sys.argv.index("--only") + 1]
-        selected = [b for b in _BENCHES if want in b[0]]
+        wants = sys.argv[sys.argv.index("--only") + 1].split(",")
+        selected = [b for b in _BENCHES if any(w in b[0] for w in wants)]
     wait_healthy(max_wait)
     for name, make, work_bytes, unit, elements in selected:
         _current_unit = unit
@@ -512,7 +512,8 @@ def main():
 
             def body(s, e, bp, b_cols, blen, lastw, lastr, alen):
                 d = _myers(
-                    bp ^ s, b_cols, blen, lastw, lastr, alen, n_words, nbits, False
+                    bp ^ s, b_cols, blen, lastw, lastr, alen, n_words, nbits, False,
+                    last_word=batch.last_word,
                 )
                 return _fold(s, d), e
 
@@ -523,7 +524,7 @@ def main():
     mcells = 65536 * 256 * 256
     bench("lev-myers-64kx256B", mk_myers(), mcells, unit="GCUPS", elements=mcells)
 
-    def mk_affine_pallas(Bp=65536, L=256, local=False):
+    def mk_gotoh(Bp=65536, L=256, local=False, linear=False, pack16=False):
         def make():
             from stringwars_tpu.ops.affine_pallas import AffineBatch, _affine
 
@@ -531,12 +532,13 @@ def main():
             a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
             b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
             lens = np.full(Bp, L, np.int32)
-            batch = AffineBatch(a, b, lens, lens)
+            batch = AffineBatch(a, b, lens, lens, pack16=pack16)
+            go, ge = (-2, -2) if linear else (-5, -1)
 
             def body(s, e, ac, rb, alen, blen):
-                pert = (s & jnp.uint32(255)).astype(jnp.int32)
+                pert = (s & jnp.uint32(255)).astype(ac.dtype)
                 ac2 = jnp.where(ac >= 0, ac ^ pert, ac)
-                out = _affine(ac2, rb, alen, blen, batch.A, batch.L, 2, -1, -5, -1, local, False)
+                out = _affine(ac2, rb, alen, blen, batch.A, batch.L, 2, -1, go, ge, local, False)
                 return _fold(s, out), e
 
             return body, (batch.a_chars, batch.rb_pad, batch.alen, batch.blen), ()
@@ -544,30 +546,12 @@ def main():
         return make
 
     acells = 65536 * 256 * 256
-    bench("nw-affine-pallas-64kx256B", mk_affine_pallas(), acells, unit="GCUPS", elements=acells)
-    bench("sw-affine-pallas-64kx256B", mk_affine_pallas(local=True), acells, unit="GCUPS", elements=acells)
-
-    def mk_linear_pallas(Bp=65536, L=256):
-        def make():
-            from stringwars_tpu.ops.affine_pallas import AffineBatch, _affine
-
-            rng = np.random.default_rng(0)
-            a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
-            b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
-            lens = np.full(Bp, L, np.int32)
-            batch = AffineBatch(a, b, lens, lens)
-
-            def body(s, e, ac, rb, alen, blen):
-                pert = (s & jnp.uint32(255)).astype(jnp.int32)
-                ac2 = jnp.where(ac >= 0, ac ^ pert, ac)
-                out = _affine(ac2, rb, alen, blen, batch.A, batch.L, 2, -1, -2, -2, False, False)
-                return _fold(s, out), e
-
-            return body, (batch.a_chars, batch.rb_pad, batch.alen, batch.blen), ()
-
-        return make
-
-    bench("nw-linear-pallas-64kx256B", mk_linear_pallas(), acells, unit="GCUPS", elements=acells)
+    bench("nw-affine-pallas-64kx256B", mk_gotoh(), acells, unit="GCUPS", elements=acells)
+    bench("sw-affine-pallas-64kx256B", mk_gotoh(local=True), acells, unit="GCUPS", elements=acells)
+    bench("nw-linear-pallas-64kx256B", mk_gotoh(linear=True), acells, unit="GCUPS", elements=acells)
+    bench("nw-affine-i16-64kx256B", mk_gotoh(pack16=True), acells, unit="GCUPS", elements=acells)
+    bench("sw-affine-i16-64kx256B", mk_gotoh(local=True, pack16=True), acells, unit="GCUPS", elements=acells)
+    bench("nw-linear-i16-64kx256B", mk_gotoh(linear=True, pack16=True), acells, unit="GCUPS", elements=acells)
 
     def mk_bpe():
         from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, train_merges
@@ -682,6 +666,242 @@ def main():
         return body, (folded, count), ()
 
     bench("uncased-find-8cp-128MB", mk_uncased_find, 128 << 20)
+
+    # --- round-3 rows: Unicode tier (gather-free), sorting, AC, DNA DP ---
+
+    def _multilingual_bytes(n_bytes, seed=5):
+        rng = np.random.default_rng(seed)
+        spans = [(0x410, 0x44F), (0x391, 0x3C9), (0x41, 0x7A), (0xC0, 0xFF)]
+        parts = []
+        total = 0
+        while total < n_bytes + 64:
+            lo, hi = spans[int(rng.integers(0, len(spans)))]
+            cps = rng.integers(lo, hi + 1, 24)
+            b = ("".join(map(chr, cps)) + " ").encode()
+            parts.append(b)
+            total += len(b)
+        buf = b"".join(parts)
+        cut = n_bytes
+        while cut > 0 and (buf[cut] & 0xC0) == 0x80:
+            cut -= 1
+        return np.frombuffer(buf[:cut], np.uint8)
+
+    def _roll_body(fn):
+        """Chained body over a flat byte stream with UTF-8-preserving
+        whole-array roll perturbation (XOR would corrupt multibyte)."""
+
+        def body(s, e, d):
+            shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
+            return _fold(s, fn(jnp.roll(d, shift))), e
+
+        return body
+
+    def mk_segment(kernel_name, nbytes, multilingual=False):
+        def make():
+            from stringwars_tpu.ops import segment as SEG
+
+            data = (
+                _multilingual_bytes(nbytes)
+                if multilingual
+                else _flat(nbytes)
+            )
+            max_cp = 0x4FF if multilingual else 0x7F
+            dev = jax.device_put(data)
+            n = int(data.shape[0])
+            fn = getattr(SEG, kernel_name)
+
+            def run(d):
+                out = fn(d, n, max_cp=max_cp)
+                return out if not isinstance(out, tuple) else out[1]
+
+            return _roll_body(run), (dev,), ()
+
+        return make
+
+    bench("tr29-words-128MB", mk_segment("word_boundaries", 128 << 20), 128 << 20)
+    bench("tr29-graphemes-128MB", mk_segment("grapheme_boundaries", 128 << 20), 128 << 20)
+    bench("tr29-sentences-64MB", mk_segment("sentence_boundaries", 64 << 20), 64 << 20)
+    bench("uax14-lines-64MB", mk_segment("linebreak_opportunities", 64 << 20), 64 << 20)
+    bench("whitespace-split-128MB", mk_segment("whitespace_token_count", 128 << 20), 128 << 20)
+    bench(
+        "tr29-words-multilingual-64MB",
+        mk_segment("word_boundaries", 64 << 20, multilingual=True),
+        64 << 20,
+    )
+
+    def mk_casefold_general():
+        from stringwars_tpu.suites.normalization import stream_rows
+        from stringwars_tpu.ops.casefold import fold_tokens
+        from stringwars_tpu.tape import PaddedTokens
+
+        data = _multilingual_bytes(32 << 20)
+        toks = stream_rows(data)
+        n = int(data.shape[0])
+
+        def body(s, e, d, ln):
+            shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
+            rolled = PaddedTokens(
+                data=jnp.roll(d, shift, axis=0),
+                lengths=jnp.roll(ln, shift),
+                width=toks.width,
+            )
+            out, counts = fold_tokens(rolled)
+            return _fold(s, counts, out[:, :8]), e
+
+        return body, (toks.data, toks.lengths), ()
+
+    bench("casefold-general-multilingual-32MB", mk_casefold_general, 32 << 20)
+
+    def mk_nfc(form):
+        def make():
+            from stringwars_tpu.suites.normalization import _normalize_routine, stream_rows
+
+            data = _multilingual_bytes(32 << 20)
+            toks = stream_rows(data)
+            r = _normalize_routine(
+                toks, np.asarray(toks.data), np.asarray(toks.lengths),
+                form, form in ("nfkc", "nfkd"), int(data.shape[0]),
+            )
+            return r.body, r.consts, r.extra0
+
+        return make
+
+    bench("nfc-multilingual-32MB", mk_nfc("nfc"), 32 << 20)
+    bench("nfd-multilingual-32MB", mk_nfc("nfd"), 32 << 20)
+    bench("nfkc-multilingual-32MB", mk_nfc("nfkc"), 32 << 20)
+    bench("nfkd-multilingual-32MB", mk_nfc("nfkd"), 32 << 20)
+
+    def mk_argsort_uncased():
+        from stringwars_tpu.ops.sort import _clamp_utf8_boundary, _uncased_order
+
+        B, W = 1 << 21, 15
+        rng = np.random.default_rng(0)
+        data = rng.integers(97, 123, (B, W), dtype=np.uint8)
+        lengths = rng.integers(3, W + 1, B, dtype=np.int32)
+        key_lengths = _clamp_utf8_boundary(data, lengths.astype(np.int64), W)
+        d_dev = jax.device_put(data)
+        l_dev = jax.device_put(key_lengths)
+        n_cols = (W + 2) // 3
+
+        def body(s, e, d, ln):
+            shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
+            order, counts = _uncased_order(
+                jnp.roll(d, shift, axis=0), jnp.roll(ln, shift), n_cols, True
+            )
+            probe = jax.lax.dynamic_slice(
+                order, ((s % jnp.uint32(d.shape[0] - 4096)).astype(jnp.int32),), (4096,)
+            )
+            return _fold(s, probe, counts[:64]), e
+
+        return body, (d_dev, l_dev), ()
+
+    n_cmp_u = (1 << 21) * 21
+    bench(
+        "argsort-uncased-2M-words", mk_argsort_uncased, (1 << 21) * 15,
+        unit="Gcmp/s", elements=n_cmp_u,
+    )
+
+    def mk_ac_pallas():
+        from stringwars_tpu.ops.ahocorasick import (
+            Automaton,
+            _ac_scan_pallas,
+            automaton_rules,
+            stage_cols,
+        )
+
+        n = 64 << 20
+        auto = Automaton([b"the", b"and", b"tion", b"abcd"])
+        cols, gpos0, overlap, limit = stage_cols(_flat(n), n, auto.max_len)
+        key_rules, oc_rules = automaton_rules(auto)
+        meta = jnp.asarray([n, limit], jnp.int32)
+
+        def body(s, e, ks, kd, os_, od, mt, c, g0):
+            cnt = _ac_scan_pallas(
+                ks, kd, os_, od, mt, c ^ _pert_u8(s).astype(jnp.int32), g0,
+                key_rules.count, oc_rules.count, overlap, False,
+            )
+            return _fold(s, cnt), e
+
+        return body, (
+            jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
+            jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
+            meta, cols, gpos0,
+        ), ()
+
+    bench("ac-pallas-64MB", mk_ac_pallas, 64 << 20)
+
+    def mk_myers_dna():
+        from stringwars_tpu.ops.myers_pallas import _myers, myers_from_tokens
+
+        rng = np.random.default_rng(0)
+        Bp, L = 65536, 256
+        alphabet = np.frombuffer(b"ACGT", np.uint8)
+        a_toks = [alphabet[rng.integers(0, 4, L)].tobytes() for _ in range(64)]
+        pairs_a = [a_toks[i % 64] for i in range(Bp)]
+        pairs_b = [a_toks[(i * 7 + 1) % 64] for i in range(Bp)]
+        mb = myers_from_tokens(pairs_a, pairs_b)
+
+        def body(s, e, bp_, bc, bl, lw, lr, al):
+            # Tile-axis roll (full batch entropy) + in-alphabet code XOR;
+            # a bare &3 XOR is low-cardinality and risks being enumerated.
+            shift = (s % jnp.uint32(bc.shape[0])).astype(jnp.int32)
+            pert = (s & jnp.uint32(3)).astype(jnp.int32)
+            out = _myers(
+                jnp.roll(bp_, shift, axis=0), jnp.roll(bc, shift, axis=0) ^ pert,
+                jnp.roll(bl, shift, axis=0), jnp.roll(lw, shift, axis=0),
+                jnp.roll(lr, shift, axis=0), jnp.roll(al, shift, axis=0),
+                mb.n_words, mb.nbits, False, last_word=mb.last_word,
+            )
+            return _fold(s, out), e
+
+        return body, (mb.bp, mb.b_cols, mb.blen, mb.lastw, mb.lastr, mb.alen), ()
+
+    dna_cells = 65536 * 256 * 256
+    bench("lev-myers-dna-64kx256B", mk_myers_dna, dna_cells, unit="GCUPS", elements=dna_cells)
+
+    def mk_vpu_ops():
+        """u32 VPU lane-op roofline probe: R rounds of a 16-op bitwise
+        chain (the Myers core's op mix) over a VMEM-resident [64, 8, 128]
+        block inside one Pallas program. Reported unit = G lane-ops/s;
+        calibrates the bit-parallel DP ceiling (PERFORMANCE.md roofline)."""
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        ROWS, RNDS = 64, 256
+
+        def kernel(x_ref, out_ref):
+            def body(r, _):
+                x = x_ref[...]
+                y = x
+                for _ in range(4):
+                    # 4 ops per line x 4 lines = 16 dependent lane-ops
+                    y = ((y + x) ^ (y | x)) & ~(y >> 1)
+                x_ref[...] = y ^ jnp.uint32(r)
+                return ()
+
+            jax.lax.fori_loop(0, RNDS, body, ())
+            out_ref[...] = x_ref[...]
+
+        @jax.jit
+        def run(x):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((ROWS, 8, 128), jnp.uint32),
+            )(x)
+
+        x0 = np.random.default_rng(0).integers(0, 1 << 32, (ROWS, 8, 128), dtype=np.uint32)
+        dev = jax.device_put(x0)
+
+        def body(s, e, x):
+            out = run(x ^ s)
+            return _fold(s, out[:2]), e
+
+        return body, (dev,), ()
+
+    vpu_ops = 64 * 8 * 128 * 256 * 16  # rows x sublanes x lanes x rounds x ops
+    bench("vpu-u32-ops-probe", mk_vpu_ops, vpu_ops, unit="Gop/s", elements=vpu_ops)
 
     run_benches()
     print(json.dumps(RESULTS, indent=1), flush=True)
