@@ -66,23 +66,37 @@ def run_kernel(name: str, timeout_s: float) -> dict | None:
 
 
 def main() -> None:
+    headline = None
+    detail = {}
     for name, key, baseline, budget in KERNELS:
         out = run_kernel(name, budget)
         if out and "value" in out:
             log(f"{key}: {out['value']} GB/s ({out['ms']} ms)")
-            print(
-                json.dumps(
-                    {
-                        "metric": f"{key}_throughput",
-                        "value": round(out["value"], 2),
-                        "unit": "GB/s",
-                        "vs_baseline": round(out["value"] / baseline, 2),
-                    }
-                ),
-                flush=True,
-            )
-            return
-    print(json.dumps({"metric": "none", "value": 0, "unit": "GB/s", "vs_baseline": 0}), flush=True)
+            detail[key] = {
+                "value": round(out["value"], 2),
+                "unit": "GB/s",
+                "vs_baseline": round(out["value"] / baseline, 2),
+                "ms": out.get("ms"),
+            }
+            if headline is None:
+                headline = {
+                    "metric": f"{key}_throughput",
+                    "value": round(out["value"], 2),
+                    "unit": "GB/s",
+                    "vs_baseline": round(out["value"] / baseline, 2),
+                }
+    # All measured rows go to stderr + BENCH_DETAIL.json (the headline
+    # JSON line on stdout stays the single driver-facing metric).
+    log(f"all kernels: {json.dumps(detail)}")
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as error:
+        log(f"BENCH_DETAIL.json not written: {error}")
+    print(
+        json.dumps(headline or {"metric": "none", "value": 0, "unit": "GB/s", "vs_baseline": 0}),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

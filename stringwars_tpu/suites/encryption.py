@@ -53,6 +53,30 @@ def main() -> None:
 
     seed_box = [0]
 
+    # Per-cipher keygen rows (reference measures key+nonce generation for
+    # each AEAD, ``encryption/bench.rs:87-125``): a fresh 256-bit key plus
+    # a cipher-sized nonce per call, from the device Threefry generator.
+    for label, nlen, _encrypt, _decrypt in device_ciphers():
+
+        def keygen_cipher(nlen=nlen) -> WorkUnits:
+            seed_box[0] += 1
+            np.asarray(fill_random(seed_box[0], 32 + nlen))
+            return WorkUnits(elements=1, bytes=32 + nlen)
+
+        ctx.run(f"keygen/{label}", "bytes", keygen_cipher)
+
+    try:
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        def keygen_host() -> WorkUnits:
+            AESGCM.generate_key(bit_length=256)
+            counter_nonce(seed_box[0], 12)
+            return WorkUnits(elements=1, bytes=32 + 12)
+
+        ctx.run("keygen/cryptography.AESGCM", "bytes", keygen_host)
+    except ImportError:
+        pass
+
     def keygen() -> WorkUnits:
         seed_box[0] += 1
         np.asarray(fill_random(seed_box[0], 32))
