@@ -58,10 +58,14 @@ def _neg_for(dtype):
     return jnp.array(_NEG16 if dtype == jnp.int16 else _NEG, dtype)
 
 
-def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, dtype, sub: int):
+def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, dtype, sub: int, uniform_full: bool = False):
     AP1 = A + 1
     P0 = A  # reversed-b pad so the slice start P0 + L - d stays >= 0
     n_d = A + L + 1
+    # Uniform-length batches (every pair alen == A, blen == L) extract the
+    # global score straight from the final diagonal slab — the per-step
+    # fin select+write disappears from the loop.
+    slab_out = uniform_full and not local
 
     def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, x_ref, y_ref, fin_ref, rb_ref, sem):
         # rb stays in HBM (a full-window block would be double-buffered by
@@ -72,12 +76,20 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
         m_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
         x_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
         y_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
-        fin_ref[...] = jnp.full((AP1, sub, LANES), neg, dtype)
         copy.wait()
+        # Seed M(0,0) = 0 on the diag-0 (parity 0) slab, entry i=0 -> row 1;
+        # the d=0 step then peels out of the loop entirely (all its other
+        # cells are decayed sentinels the init already represents).
+        m_ref[0, 1] = jnp.zeros((sub, LANES), dtype)
 
         alen = alen_ref[0]
         blen = blen_ref[0]
         dfin = alen + blen
+        if not slab_out:
+            fin_ref[...] = jnp.full((AP1, sub, LANES), neg, dtype)
+            # The peeled d=0 step's only fin contribution: empty x empty
+            # pairs (dfin == 0) score M(0,0) = 0 at row i = 0.
+            fin_ref[0] = jnp.where(dfin == 0, jnp.array(0, dtype), neg)
         a_chars = a_ref[0]  # [AP1, sub, LANES]; row i = a[i-1], row 0 sentinel
         ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, sub, LANES), 0)
 
@@ -104,18 +116,18 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             subst = jnp.where(a_chars == bc, jnp.array(match, dtype), jnp.array(mismatch, dtype))
 
             m_new = jnp.maximum(jnp.maximum(m2s, x2s), y2s) + subst
-            m_new = jnp.where((d == 0) & (ii == 0), jnp.array(0, dtype), m_new)
             if local:
                 m_new = jnp.maximum(m_new, jnp.array(0, dtype))
             x_new = jnp.maximum(m1s + jnp.array(go, dtype), x1s + jnp.array(ge, dtype))
             y_new = jnp.maximum(m1u + jnp.array(go, dtype), y1u + jnp.array(ge, dtype))
 
-            best = jnp.maximum(jnp.maximum(m_new, x_new), y_new)
             if local:
                 # Fake (out-of-rectangle) cells decay from real ones and the
                 # floor, so max(best) over ALL cells equals the true SW max.
+                best = jnp.maximum(jnp.maximum(m_new, x_new), y_new)
                 fin_ref[...] = jnp.maximum(fin_ref[...], best)
-            else:
+            elif not slab_out:
+                best = jnp.maximum(jnp.maximum(m_new, x_new), y_new)
                 fin_ref[...] = jnp.where(d == dfin, best, fin_ref[...])
 
             m_ref[cur, pl.ds(1, AP1)] = m_new[None]
@@ -123,17 +135,25 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             y_ref[cur, pl.ds(1, AP1)] = y_new[None]
             return ()
 
-        jax.lax.fori_loop(0, n_d, step, ())
-        fin = fin_ref[...]
+        jax.lax.fori_loop(1, n_d, step, ())
         if local:
-            out_ref[0] = jnp.max(fin, axis=0).astype(jnp.int32)
+            out_ref[0] = jnp.max(fin_ref[...], axis=0).astype(jnp.int32)
+        elif slab_out:
+            # Cell (A, L) lives on diag A+L (the final step) at slab row AP1.
+            par = (A + L) % 2
+            best = jnp.maximum(
+                jnp.maximum(m_ref[par, AP1], x_ref[par, AP1]), y_ref[par, AP1]
+            )
+            out_ref[0] = best.astype(jnp.int32)
         else:
-            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0).astype(jnp.int32)
+            out_ref[0] = jnp.max(
+                jnp.where(ii == alen, fin_ref[...], neg), axis=0
+            ).astype(jnp.int32)
 
     return kernel
 
 
-def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local: bool, dtype, sub: int):
+def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local: bool, dtype, sub: int, uniform_full: bool = False):
     """Single-matrix wavefront for linear gaps (go == ge): H[i,j] =
     max(H[i-1,j-1]+sub, H[i-1,j]+g, H[i,j-1]+g) — one slab pair instead
     of three, ~3× fewer VMEM ops per cell than the Gotoh form.
@@ -151,18 +171,23 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
     AP1 = A + 1
     P0 = A
     n_d = A + L + 1
+    slab_out = uniform_full and not local  # see _make_kernel
 
     def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, fin_ref, rb_ref, sem):
         copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
         copy.start()
         neg = _neg_for(dtype)
         m_ref[...] = jnp.full((2, AP1 + 1, sub, LANES), neg, dtype)
-        fin_ref[...] = jnp.full((AP1, sub, LANES), neg, dtype)
         copy.wait()
+        # Seed M(0,0) = 0 and peel the d=0 step (see _make_kernel).
+        m_ref[0, 1] = jnp.zeros((sub, LANES), dtype)
 
         alen = alen_ref[0]
         blen = blen_ref[0]
         dfin = alen + blen
+        if not slab_out:
+            fin_ref[...] = jnp.full((AP1, sub, LANES), neg, dtype)
+            fin_ref[0] = jnp.where(dfin == 0, jnp.array(0, dtype), neg)
         a_chars = a_ref[0]
         ii = jax.lax.broadcasted_iota(jnp.int32, (AP1, sub, LANES), 0)
 
@@ -180,30 +205,34 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
             m_new = jnp.maximum(
                 m2s + subst, jnp.maximum(m1s, m1u) + jnp.array(g, dtype)
             )
-            m_new = jnp.where((d == 0) & (ii == 0), jnp.array(0, dtype), m_new)
             if local:
                 m_new = jnp.maximum(m_new, jnp.array(0, dtype))
                 fin_ref[...] = jnp.maximum(fin_ref[...], m_new)
-            else:
+            elif not slab_out:
                 fin_ref[...] = jnp.where(d == dfin, m_new, fin_ref[...])
 
             m_ref[cur, pl.ds(1, AP1)] = m_new[None]
             return ()
 
-        jax.lax.fori_loop(0, n_d, step, ())
-        fin = fin_ref[...]
+        jax.lax.fori_loop(1, n_d, step, ())
         if local:
-            out_ref[0] = jnp.max(fin, axis=0).astype(jnp.int32)
+            out_ref[0] = jnp.max(fin_ref[...], axis=0).astype(jnp.int32)
+        elif slab_out:
+            par = (A + L) % 2
+            out_ref[0] = m_ref[par, AP1].astype(jnp.int32)
         else:
-            out_ref[0] = jnp.max(jnp.where(ii == alen, fin, neg), axis=0).astype(jnp.int32)
+            out_ref[0] = jnp.max(
+                jnp.where(ii == alen, fin_ref[...], neg), axis=0
+            ).astype(jnp.int32)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("A", "L", "match", "mismatch", "go", "ge", "local", "interpret")
+    jax.jit,
+    static_argnames=("A", "L", "match", "mismatch", "go", "ge", "local", "interpret", "uniform_full"),
 )
-def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, interpret: bool):
+def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, interpret: bool, uniform_full: bool = False):
     n_bt = a_chars.shape[0]
     dtype = a_chars.dtype
     sub = a_chars.shape[2]
@@ -220,10 +249,10 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
             )
     meta_spec = pl.BlockSpec((1, sub, LANES), lambda bt: (bt, 0, 0))
     if go == ge:
-        kernel = _make_kernel_linear(A, L, match, mismatch, go, local, dtype, sub)
+        kernel = _make_kernel_linear(A, L, match, mismatch, go, local, dtype, sub, uniform_full)
         slabs = 1
     else:
-        kernel = _make_kernel(A, L, match, mismatch, go, ge, local, dtype, sub)
+        kernel = _make_kernel(A, L, match, mismatch, go, ge, local, dtype, sub, uniform_full)
         slabs = 3
     return pl.pallas_call(
         kernel,
@@ -297,6 +326,12 @@ class AffineBatch:
         self.blen = meta(np.asarray(b_len, np.int32))
         self._np_alen = np.asarray(a_len, np.int64)
         self._np_blen = np.asarray(b_len, np.int64)
+        # Static hint: every real pair fills its padded rectangle, so the
+        # kernel reads the global score off the final diagonal slab (pad
+        # pairs in partial tiles produce garbage that staging discards).
+        self.uniform_full = bool(
+            B > 0 and (self._np_alen == A).all() and (self._np_blen == L).all()
+        )
 
     def cells(self) -> int:
         return int((self._np_alen * self._np_blen).sum())
@@ -332,6 +367,7 @@ def affine_scores(
         gap_extend,
         local,
         interpret,
+        uniform_full=batch.uniform_full,
     )
     flat = np.asarray(out).reshape(-1)[: batch.count]
     if local:

@@ -158,7 +158,8 @@ def _gotoh_routine(scope: DeviceScope, cells, total_bytes, gotoh) -> DeviceRouti
     def run(a_chars, rb_pad, alen, blen, pert):
         # Perturb query chars, preserving negative padding sentinels.
         a2 = jnp.where(a_chars >= 0, a_chars ^ pert.astype(a_chars.dtype), a_chars)
-        return _affine(a2, rb_pad, alen, blen, ab.A, ab.L, mt, mm, go, ge, local, False)
+        return _affine(a2, rb_pad, alen, blen, ab.A, ab.L, mt, mm, go, ge, local, False,
+                       uniform_full=ab.uniform_full)
 
     if scope.chips > 1:
         consts = tuple(shard_tiles(scope, consts))

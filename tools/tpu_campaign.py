@@ -538,7 +538,8 @@ def main():
             def body(s, e, ac, rb, alen, blen):
                 pert = (s & jnp.uint32(255)).astype(ac.dtype)
                 ac2 = jnp.where(ac >= 0, ac ^ pert, ac)
-                out = _affine(ac2, rb, alen, blen, batch.A, batch.L, 2, -1, go, ge, local, False)
+                out = _affine(ac2, rb, alen, blen, batch.A, batch.L, 2, -1, go, ge, local, False,
+                              uniform_full=batch.uniform_full)
                 return _fold(s, out), e
 
             return body, (batch.a_chars, batch.rb_pad, batch.alen, batch.blen), ()
