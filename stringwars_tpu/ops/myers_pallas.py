@@ -62,20 +62,23 @@ def _make_kernel(n_words: int, nbits: int, n_js: int, last_word: int = -1):
         one = jnp.uint32(1)
         zero = jnp.uint32(0)
 
+        ones = jnp.full((SUB, LANES), 0xFFFFFFFF, jnp.uint32)
         for jc in range(JC):
             j = js * JC + jc
             c = b_ref[0, jc]  # [SUB, LANES] int32
-            cb = [((c >> bit) & 1) == 1 for bit in range(nbits - 1)]
+            # XOR-mask Eq (see the loop kernel): bp ^ mn selects bp / ~bp.
+            mn = [
+                jnp.where(((c >> bit) & 1) == 1, jnp.uint32(0), ones)
+                for bit in range(nbits - 1)
+            ] + [ones]
             score = score_ref[...]
             hp_in = jnp.full((SUB, LANES), one)
             hn_in = jnp.full((SUB, LANES), zero)
             in_text = j < blen
             for w in range(n_words):
-                eq = jnp.full((SUB, LANES), 0xFFFFFFFF, jnp.uint32)
-                for bit in range(nbits - 1):
-                    bp = bp_ref[0, bit, w]
-                    eq &= jnp.where(cb[bit], bp, ~bp)
-                eq &= ~bp_ref[0, nbits - 1, w]  # pad sentinel never matches
+                eq = bp_ref[0, 0, w] ^ mn[0]
+                for bit in range(1, nbits):
+                    eq &= bp_ref[0, bit, w] ^ mn[bit]
                 vp = vp_ref[w]
                 vn = vn_ref[w]
                 xv = eq | vn
@@ -140,18 +143,27 @@ def _make_kernel_loop(n_words: int, nbits: int, n_js: int, last_word: int = -1):
         one = jnp.uint32(1)
         zero = jnp.uint32(0)
 
+        ones = jnp.full((SUB, LANES), 0xFFFFFFFF, jnp.uint32)
+
         def col_body(jc, _):
             j = js * JC + jc
             c = b_ref[0, jc]  # [SUB, LANES] int32
             in_text = j < blen
+            # Per-column XOR masks, hoisted out of the word loop: plane
+            # image bp ^ mn[bit] = bp where the text char has the bit set,
+            # ~bp otherwise; the pad-sentinel plane always inverts (a pad
+            # row never matches). Eq per word = nbits XORs + nbits-1 ANDs,
+            # vs 6 ops/bit/word for the unhoisted select form.
+            mn = [
+                jnp.where(((c >> bit) & 1) == 1, jnp.uint32(0), ones)
+                for bit in range(nbits - 1)
+            ] + [ones]
 
             def advance(w, hp_in, hn_in):
                 """One word-block step; returns (ph, mh, hp_out, hn_out)."""
-                eq = jnp.full((SUB, LANES), 0xFFFFFFFF, jnp.uint32)
-                for bit in range(nbits - 1):
-                    bp = bp_ref[0, bit, w]
-                    eq &= jnp.where(((c >> bit) & 1) == 1, bp, ~bp)
-                eq &= ~bp_ref[0, nbits - 1, w]  # pad sentinel never matches
+                eq = bp_ref[0, 0, w] ^ mn[0]
+                for bit in range(1, nbits):
+                    eq &= bp_ref[0, bit, w] ^ mn[bit]
                 vp = vp_ref[w]
                 vn = vn_ref[w]
                 xv = eq | vn
