@@ -10,7 +10,7 @@ import numpy as np
 
 from stringwars_tpu.ops import memops as M
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
-from stringwars_tpu.utils.harness import WorkUnits, sync
+from stringwars_tpu.utils.harness import DeviceRoutine, WorkUnits, fold_salt, perturb_u8, sync
 
 
 def main() -> None:
@@ -42,19 +42,27 @@ def main() -> None:
         return jax.device_put(arr, scope.sharding(P(SHARD_AXIS))), n + pad
 
     ctx.group("lookup-table")
-    translate = jax.jit(M.lut_translate_gather)
-    planes = jax.jit(M.lut_translate_planes)
+
+    # Buffer-chained LUT rows (the campaign's anti-memoization shape): each
+    # iteration translates the PREVIOUS output, so no dispatch or loop step
+    # ever repeats and the full buffer is a live loop carry.
+    def lut_routine(fn, sdata, sn):
+        def body(s, e, table):
+            return s + jnp.uint32(1), fn(e, table)
+
+        return DeviceRoutine(body=body, consts=(lut,), units=WorkUnits(1, sn), extra0=sdata)
+
     for scope in ctx.scopes:
         sdata, sn = staged_for(scope)
         ctx.run(
             f"lookup-table/swtpu::lut_translate{scope.name}",
             "bytes",
-            lambda sdata=sdata, sn=sn: (sync(translate(sdata, lut)), WorkUnits(1, sn))[1],
+            lut_routine(M.lut_translate_gather, sdata, sn),
         )
     ctx.run(
         "lookup-table/swtpu::lut_planes<1chip>",
         "bytes",
-        lambda: (sync(planes(data, lut)), WorkUnits(1, n))[1],
+        lut_routine(M.lut_translate_planes, data, n),
     )
     host = np.asarray(data).tobytes()
     lut_b = M.invert_case_lut().tobytes()
@@ -72,14 +80,17 @@ def main() -> None:
     )
 
     ctx.group("generate-random")
-    seed_box = [0]
 
-    def rand_routine() -> WorkUnits:
-        seed_box[0] += 1
-        sync(M.fill_random(seed_box[0], n))
-        return WorkUnits(1, n)
+    def rand_body(s, e):
+        out = M.fill_random_words(s, n)
+        pick = (s % jnp.uint32(out.shape[0] - 1)).astype(jnp.int32)
+        return fold_salt(s, jax.lax.dynamic_slice(out, (pick,), (1,))), e
 
-    ctx.run("generate-random/swtpu::fill_random<1chip>", "bytes", rand_routine)
+    ctx.run(
+        "generate-random/swtpu::fill_random<1chip>",
+        "bytes",
+        DeviceRoutine(body=rand_body, consts=(), units=WorkUnits(1, n)),
+    )
     host_rng = np.random.default_rng(42)
     ctx.run(
         "generate-random/numpy.PCG64",
@@ -89,28 +100,42 @@ def main() -> None:
 
     ctx.group("memset")
     fill = jax.jit(M.fill, static_argnames=("n",))
-    ctx.run(
-        "memset/swtpu::fill<1chip>",
-        "bytes",
-        lambda: (sync(fill(n, 0x5A)), WorkUnits(1, n))[1],
-    )
+    seed_box = [0]
+
+    def memset_routine() -> WorkUnits:
+        # A write-only op has no XLA-legal chained consumer (any read adds
+        # a pass that isn't memset); vary the value per call so at least
+        # no dispatch repeats. Wall-time loop; dispatch floor applies.
+        seed_box[0] += 1
+        sync(fill(n, seed_box[0] & 0xFF))
+        return WorkUnits(1, n)
+
+    ctx.run("memset/swtpu::fill<1chip>", "bytes", memset_routine)
 
     ctx.group("memcpy")
-    copy = jax.jit(M.copy)
+
+    # Chained copy: out = in ^ salt-byte is byte-for-byte memcpy traffic
+    # (one read + one write, single fused flop) that cannot be copy-elided
+    # across iterations the way a literal device copy would be.
+    def copy_routine(sdata, sn):
+        def body(s, e):
+            return s + jnp.uint32(1), e ^ perturb_u8(s)
+
+        return DeviceRoutine(body=body, consts=(), units=WorkUnits(1, sn), extra0=sdata)
+
     for scope in ctx.scopes:
         sdata, sn = staged_for(scope)
-        ctx.run(
-            f"memcpy/swtpu::copy{scope.name}",
-            "bytes",
-            lambda sdata=sdata, sn=sn: (sync(copy(sdata)), WorkUnits(1, sn))[1],
-        )
+        ctx.run(f"memcpy/swtpu::copy{scope.name}", "bytes", copy_routine(sdata, sn))
 
     ctx.group("memmove")
-    move = jax.jit(M.move, static_argnames=("shift",))
+
+    def move_body(s, e):
+        return s + jnp.uint32(1), jnp.roll(e, 8) ^ perturb_u8(s)
+
     ctx.run(
         "memmove/swtpu::move<1chip>",
         "bytes",
-        lambda: (sync(move(data, 8)), WorkUnits(1, n - 8))[1],
+        DeviceRoutine(body=move_body, consts=(), units=WorkUnits(1, n), extra0=data),
     )
 
 

@@ -13,7 +13,37 @@ import numpy as np
 from stringwars_tpu.ops import segment as SEG
 from stringwars_tpu.ops import utf8 as U8
 from stringwars_tpu.suites._common import SuiteContext, setup_suite
-from stringwars_tpu.utils.harness import WorkUnits, sync
+from stringwars_tpu.utils.harness import DeviceRoutine, WorkUnits, fold_salt
+
+
+def _cp_ceiling(max_byte: int) -> int:
+    """Corpus codepoint ceiling from the max BYTE (UTF-8 lead ranges):
+    static hint for the segmentation rule maps (pruned boundary walks)."""
+    if max_byte < 0x80:
+        return 0x7F
+    if max_byte < 0xE0:
+        return 0x7FF
+    if max_byte < 0xF0:
+        return 0xFFFF
+    return 0x10FFFF
+
+
+def _stream_routine(data, n: int, call, *, counts_only: bool = False) -> DeviceRoutine:
+    """Chained whole-stream row: a salt-driven roll perturbs the byte
+    stream every iteration (UTF-8-preserving up to the single wrap seam)
+    so the tunneled chip cannot serve memoized dispatches; scalar outputs
+    fold back into the salt (``counts_only`` skips folding large
+    boundary-mask outputs, which would add a full extra reduce)."""
+
+    def body(s, e, d):
+        shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
+        out = call(jnp.roll(d, shift))
+        outs = out if isinstance(out, tuple) else (out,)
+        if counts_only:
+            outs = outs[1:]
+        return fold_salt(s, *outs), e
+
+    return DeviceRoutine(body=body, consts=(data,), units=WorkUnits(1, n))
 
 
 def main() -> None:
@@ -25,15 +55,16 @@ def main() -> None:
         default_synthetic="multilingual",
     )
     n = ctx.tape.total_bytes
-    data = jnp.asarray(np.asarray(ctx.tape.data)[:n])
-    host_bytes = np.asarray(data).tobytes()
+    data_np = np.asarray(ctx.tape.data)[:n]
+    data = jnp.asarray(data_np)
+    host_bytes = data_np.tobytes()
+    mcp = _cp_ceiling(int(data_np.max()) if n else 0)
 
     ctx.group("tokenize-whitespace")
-    ws = jax.jit(SEG.whitespace_token_count, static_argnames=("n",))
     ctx.run(
         "tokenize-whitespace/swtpu::split<1chip>",
         "bytes",
-        lambda: (sync(ws(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: SEG.whitespace_token_count(d, n, max_cp=mcp)),
     )
     host_text = host_bytes.decode("utf-8", "ignore")
     ctx.run(
@@ -43,11 +74,10 @@ def main() -> None:
     )
 
     ctx.group("tokenize-newlines")
-    nl = jax.jit(SEG.newline_split_count, static_argnames=("n",))
     ctx.run(
         "tokenize-newlines/swtpu::split<1chip>",
         "bytes",
-        lambda: (sync(nl(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: SEG.newline_split_count(d, n, max_cp=mcp)),
     )
     ctx.run(
         "tokenize-newlines/str.splitlines",
@@ -56,11 +86,10 @@ def main() -> None:
     )
 
     ctx.group("tokenize-words-tr29")
-    wb = jax.jit(SEG.word_boundaries, static_argnames=("n",))
     ctx.run(
         "tokenize-words-tr29/swtpu::words<1chip>",
         "bytes",
-        lambda: (sync(wb(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: SEG.word_boundaries(d, n, max_cp=mcp), counts_only=True),
     )
     import regex as regex_mod
 
@@ -74,11 +103,10 @@ def main() -> None:
     )
 
     ctx.group("tokenize-graphemes-tr29")
-    gb = jax.jit(SEG.grapheme_boundaries, static_argnames=("n",))
     ctx.run(
         "tokenize-graphemes-tr29/swtpu::graphemes<1chip>",
         "bytes",
-        lambda: (sync(gb(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: SEG.grapheme_boundaries(d, n, max_cp=mcp), counts_only=True),
     )
     ctx.run(
         "tokenize-graphemes-tr29/regex-\\X",
@@ -87,19 +115,17 @@ def main() -> None:
     )
 
     ctx.group("tokenize-sentences-tr29")
-    sb = jax.jit(SEG.sentence_boundaries, static_argnames=("n",))
     ctx.run(
         "tokenize-sentences-tr29/swtpu::sentences<1chip>",
         "bytes",
-        lambda: (sync(sb(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: SEG.sentence_boundaries(d, n, max_cp=mcp), counts_only=True),
     )
 
     ctx.group("tokenize-lines-uax14")
-    lb = jax.jit(SEG.linebreak_opportunities, static_argnames=("n",))
     ctx.run(
         "tokenize-lines-uax14/swtpu::linebreaks<1chip>",
         "bytes",
-        lambda: (sync(lb(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: SEG.linebreak_opportunities(d, n, max_cp=mcp), counts_only=True),
     )
 
     ctx.group("utf8-length")
@@ -107,7 +133,7 @@ def main() -> None:
     ctx.run(
         "utf8-length/swtpu::count_utf8<1chip>",
         "bytes",
-        lambda: (sync(cnt(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: U8.utf8_count(d, n)),
     )
     ctx.run(
         "utf8-length/bytes.decode-len",
@@ -116,11 +142,10 @@ def main() -> None:
     )
 
     ctx.group("utf8-iterate")
-    dec = jax.jit(U8.utf8_decode, static_argnames=("n",))
     ctx.run(
         "utf8-iterate/swtpu::decode_utf32<1chip>",
         "bytes",
-        lambda: (sync(dec(data, n)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: U8.utf8_decode(d, n), counts_only=True),
     )
 
     ctx.group("find-nth-utf8")
@@ -130,7 +155,7 @@ def main() -> None:
     ctx.run(
         "find-nth-utf8/swtpu::find_nth<1chip>",
         "bytes",
-        lambda: (sync(nth(data, n, last)), WorkUnits(1, n))[1],
+        _stream_routine(data, n, lambda d: U8.utf8_find_nth(d, n, last)),
     )
 
     # --- Byte-level BPE over regex pre-split pretokens (BASELINE.json
@@ -170,13 +195,26 @@ def main() -> None:
             width=W,
         )
         pre_bytes = int(sum(map(len, pretokens)))
-        enc = jax.jit(lambda t: bpe_encode(t, table))
+        def bpe_body(s, e, rows, lengths):
+            shift = (s % jnp.uint32(rows.shape[0])).astype(jnp.int32)
+            rolled = PaddedTokens(
+                data=jnp.roll(rows, shift, axis=0),
+                lengths=jnp.roll(lengths, shift),
+                width=staged.width,
+            )
+            out = bpe_encode(rolled, table)
+            outs = out if isinstance(out, tuple) else (out,)
+            return fold_salt(s, *[o[:64] for o in outs]), e
 
-        def bpe_routine() -> WorkUnits:
-            sync(enc(staged))
-            return WorkUnits(elements=len(pretokens), bytes=pre_bytes)
-
-        ctx.run("tokenize-bpe/swtpu::bpe_encode<1chip>", "bytes", bpe_routine)
+        ctx.run(
+            "tokenize-bpe/swtpu::bpe_encode<1chip>",
+            "bytes",
+            DeviceRoutine(
+                body=bpe_body,
+                consts=(staged.data, staged.lengths),
+                units=WorkUnits(elements=len(pretokens), bytes=pre_bytes),
+            ),
+        )
 
         sample = pretokens[:2000]
         sample_bytes = sum(map(len, sample))
