@@ -15,7 +15,7 @@ import numpy as np
 
 from stringwars_tpu.ops import filters as FLT
 from stringwars_tpu.ops import hash as H
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import SuiteContext, chained_layouts, setup_suite
 from stringwars_tpu.tape import PaddedTokens, Tape
 from stringwars_tpu.utils.harness import WorkUnits, sync
 
@@ -51,12 +51,11 @@ def main() -> None:
     for bits in (128, 256, 512, 1024):
         k = bits // 64
         seeds = np.arange(1, k + 1, dtype=np.uint64)
-        fn = jax.jit(lambda l, s=seeds: H.xxh64_multiseed(l, s))
-
-        def routine() -> WorkUnits:
-            sync(fn(layout))
-            return WorkUnits(elements=count * bits, bytes=total_bytes)
-
+        routine = chained_layouts(
+            lambda l, s=seeds: H.xxh64_multiseed(l, s),
+            [layout],
+            WorkUnits(elements=count * bits, bytes=total_bytes),
+        )
         ctx.run(f"multihash/{bits}bit/swtpu::xxh64_multiseed<1chip>", "bits", routine)
 
         import xxhash
@@ -91,17 +90,26 @@ def main() -> None:
     )
     assert fn_rate == 0.0, "bloom filters must have zero false negatives"
 
-    def build_routine() -> WorkUnits:
-        sync(FLT.bloom_build(ins_layout, seeds7, m_bits).words)
-        return WorkUnits(elements=cut, bytes=ins_tape.total_bytes)
-
-    ctx.run("filters/swtpu::bloom-build<1chip>", "keys", build_routine)
-
-    def query_routine() -> WorkUnits:
-        sync(FLT.bloom_query(filt, out_layout))
-        return WorkUnits(elements=count - cut, bytes=out_tape.total_bytes)
-
-    ctx.run("filters/swtpu::bloom-query<1chip>", "keys", query_routine)
+    # Chained filter rows: the salt XORs the key-words leaf so every
+    # iteration builds/probes a different key set (anti-memoization).
+    ctx.run(
+        "filters/swtpu::bloom-build<1chip>",
+        "keys",
+        chained_layouts(
+            lambda l: FLT.bloom_build(l, seeds7, m_bits).words,
+            [ins_layout],
+            WorkUnits(elements=cut, bytes=ins_tape.total_bytes),
+        ),
+    )
+    ctx.run(
+        "filters/swtpu::bloom-query<1chip>",
+        "keys",
+        chained_layouts(
+            lambda l: FLT.bloom_query(filt, l),
+            [out_layout],
+            WorkUnits(elements=count - cut, bytes=out_tape.total_bytes),
+        ),
+    )
 
     ins_keys = H.xxh64(ins_layout).to_numpy()
     out_keys = np.setdiff1d(H.xxh64(out_layout).to_numpy(), ins_keys)

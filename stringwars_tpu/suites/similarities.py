@@ -248,15 +248,19 @@ def main() -> None:
                 [decode_codepoints(t) for t in pairs_a],
                 [decode_codepoints(t) for t in pairs_b],
             )
-            utf8_routine = lambda: (
-                sync(
-                    _myers(
-                        mbu.bp, mbu.b_cols, mbu.blen, mbu.lastw, mbu.lastr, mbu.alen,
-                        mbu.n_words, mbu.nbits, False,
-                    )
-                ),
-                WorkUnits(cells_u, total_bytes),
-            )[1]
+
+            def utf8_body(s, e, bp, b_cols, blen, lastw, lastr, alen):
+                out = _myers(
+                    bp, b_cols ^ perturb_u8(s).astype(jnp.int32), blen, lastw, lastr, alen,
+                    mbu.n_words, mbu.nbits, False, last_word=mbu.last_word,
+                )
+                return fold_salt(s, out), e
+
+            utf8_routine = DeviceRoutine(
+                body=utf8_body,
+                consts=(mbu.bp, mbu.b_cols, mbu.blen, mbu.lastw, mbu.lastr, mbu.alen),
+                units=WorkUnits(cells_u, total_bytes),
+            )
         else:
             utf8_routine = lambda: (
                 sync(S.levenshtein(batch_u)),
@@ -273,10 +277,27 @@ def main() -> None:
     bound = get_env_parsed("ERROR_BOUND", 0)
     if bound > 0:
         band = int(bound)
+        if jax.default_backend() == "tpu":
+
+            def banded_body(s, e, a, b, a_len, b_len):
+                pert = perturb_u8(s).astype(b.dtype)
+                salted = S.PairBatch(a=a, b=b ^ pert, a_len=a_len, b_len=b_len)
+                return fold_salt(s, S.levenshtein_banded(salted, band)), e
+
+            banded_routine = DeviceRoutine(
+                body=banded_body,
+                consts=(batch.a, batch.b, batch.a_len, batch.b_len),
+                units=WorkUnits(cells, total_bytes),
+            )
+        else:
+            banded_routine = lambda: (
+                sync(S.levenshtein_banded(batch, band)),
+                WorkUnits(cells, total_bytes),
+            )[1]
         ctx.run(
             f"uniform-banded{band}/swtpu::levenshtein<1chip>",
             "cups",
-            lambda: (sync(S.levenshtein_banded(batch, band)), WorkUnits(cells, total_bytes))[1],
+            banded_routine,
         )
 
     # Host baseline: stdlib-ish DP on the diagonal only (reference baselines
