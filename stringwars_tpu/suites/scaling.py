@@ -16,6 +16,7 @@ from __future__ import annotations
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -75,17 +76,30 @@ def main() -> None:
         )
         step = make_sharded_step(mesh, ac_n=ac_n, ac_chunk=ac_chunk)
 
-        def routine() -> WorkUnits:
-            sync(step(*inputs))
-            return WorkUnits(elements=1, bytes=total_bytes)
-
         name = f"pipeline/swtpu::sharded_step{scope.name}"
-        from stringwars_tpu.utils.harness import measure_throughput
         from stringwars_tpu.utils.config import should_run
+        from stringwars_tpu.utils.harness import (
+            DeviceRoutine,
+            fold_salt,
+            measure_chained,
+            perturb_u8,
+        )
 
         if not should_run(name, ctx.pattern):
             continue
-        stats = measure_throughput(routine, ctx.budget)
+
+        def body(s, e, *consts):
+            # Salt every byte-stream input (haystack, token rows) so no
+            # pipeline dispatch repeats; counts fold back into the salt.
+            pert = perturb_u8(s)
+            salted = [c ^ pert if c.dtype == jnp.uint8 else c for c in consts]
+            out = step(*salted)
+            return fold_salt(s, *jax.tree_util.tree_leaves(out)), e
+
+        stats = measure_chained(
+            DeviceRoutine(body=body, consts=tuple(inputs), units=WorkUnits(1, total_bytes)),
+            ctx.budget,
+        )
         stats.report(name, "bytes")
         rates[scope.chips] = stats.bytes_per_second
 
