@@ -71,9 +71,10 @@ class MergeTable:
         )
 
     def rule_maps(self):
-        """(rank_rules, id_rules) sparse equality maps for the gather-free
-        lookup (rank stored +1 so 0 means miss), or None when keys exceed
-        the rule evaluator's int32 domain (very large vocabularies)."""
+        """ONE packed sparse equality map for the gather-free lookup —
+        value = (rank + 1) << 16 | new_id (0 means miss; both halves fit
+        16 bits since the rules path caps at 4096 merges) — or None when
+        keys exceed the rule evaluator's int32 domain."""
         cached = _TABLE_RULES.get(id(self))
         if cached is not None:
             return cached if cached != "none" else None
@@ -83,10 +84,12 @@ class MergeTable:
             return None
         from stringwars_tpu.ops.rulemap import compile_sparse_values
 
-        rank_rules = compile_sparse_values(keys, np.asarray(self.ranks, np.int64) + 1)
-        id_rules = compile_sparse_values(keys, np.asarray(self.new_ids, np.int64))
-        _TABLE_RULES[id(self)] = (rank_rules, id_rules)
-        return rank_rules, id_rules
+        packed = (
+            (np.asarray(self.ranks, np.int64) + 1) << 16
+        ) | np.asarray(self.new_ids, np.int64)
+        rules = compile_sparse_values(keys, packed)
+        _TABLE_RULES[id(self)] = rules
+        return rules
 
 
 _TABLE_RULES: dict = {}
@@ -166,6 +169,20 @@ def _row_last_value(values: jax.Array, mask: jax.Array, init) -> jax.Array:
     return jnp.where(f, v, init)
 
 
+def _last_alive_scan(values, alive):
+    """Inclusive per-row scan: value at the nearest alive slot <= j
+    (0 where none yet). Dead slots are transparent."""
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    v, f = jax.lax.associative_scan(
+        comb, (jnp.where(alive, values, 0), alive), axis=1
+    )
+    return v, f
+
+
 def _encode_impl(ids, counts, lookup, max_iters: int):
     """Row-parallel exact greedy: every iteration merges ALL occurrences of
     each row's minimum-rank pair (ties resolved left-to-right by run
@@ -176,37 +193,62 @@ def _encode_impl(ids, counts, lookup, max_iters: int):
     positions away can create a brand-new lower-rank pair that overlaps a
     current local min, e.g. (69,259)→260 spawning (259,260) r5 which
     pre-empts (251,259) r13.)
+
+    Merged-away slots become HOLES (-1) instead of being compacted: the
+    right partner of each pair is the next alive value (one log-W scan)
+    and holes are identity elements in the run-parity scan, so the loop
+    body has no argsort / gather; one stable compaction runs after the
+    loop. Saves the per-iteration [B, W] sort + take_along_axis that
+    dominated the round-2 profile.
     """
     B, W = ids.shape
     pos = jnp.arange(W, dtype=jnp.int32)[None, :]
 
     def step(state):
         ids, counts, _changed = state
-        valid_pair = pos < (counts[:, None] - 1)
-        right = jnp.concatenate([ids[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
+        alive = ids >= 0
+        # Next alive value to the RIGHT (exclusive): flip, inclusive
+        # first-alive scan, flip back, shift left.
+        rv, rf = _last_alive_scan(jnp.flip(ids, 1), jnp.flip(alive, 1))
+        # After flip-back, position j holds nearest alive value at >= j.
+        inc_v = jnp.flip(rv, 1)
+        inc_f = jnp.flip(rf, 1)
+        nxt = jnp.concatenate([inc_v[:, 1:], jnp.full((B, 1), 0, ids.dtype)], axis=1)
+        has_nxt = jnp.concatenate([inc_f[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+        valid_pair = alive & has_nxt
+
         keys = (
             ids.astype(jnp.uint32) << _KEY_SHIFT
-        ) | (right.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+        ) | (nxt.astype(jnp.uint32) & jnp.uint32(0xFFFF))
         pair_rank, pair_new = lookup(keys)
         r = jnp.where(valid_pair, pair_rank, _INF)
         best = jnp.min(r, axis=1, keepdims=True)  # [B, 1]
         m = (r == best) & (best < _INF)
-        # Left-to-right overlap resolution: within each run of consecutive
-        # matches, only even run-positions merge ("aaaa" -> "aa","aa").
-        not_m = ~m
-        last_false = jax.lax.cummax(jnp.where(not_m, pos, -1), axis=1)
-        runpos = pos - last_false - 1
-        do = m & ((runpos & 1) == 0)
-        eaten = jnp.concatenate([jnp.zeros((B, 1), bool), do[:, :-1]], axis=1)
-        merged_ids = jnp.where(do, pair_new, ids)
-        # Compact: dead (eaten) slots sort after alive ones, stably.
-        sort_keys = jnp.where(eaten, W + pos, pos)
-        order = jnp.argsort(sort_keys, axis=1, stable=True)
-        new_ids_row = jnp.take_along_axis(merged_ids, order, axis=1)
-        n_merged = jnp.sum(do, axis=1).astype(jnp.int32)
-        new_counts = counts - n_merged
-        new_ids_row = jnp.where(pos < new_counts[:, None], new_ids_row, -1)
-        return new_ids_row, new_counts, jnp.any(do)
+
+        # Left-to-right overlap resolution over ALIVE adjacency: trailing
+        # consecutive-match length via composition of linear functions
+        # x -> mult*x + add (dead = identity, unmatched = reset, matched =
+        # increment); odd 1-based run positions merge ("aaaa" -> aa, aa).
+        mult = jnp.where(alive, jnp.where(m, 1, 0), 1).astype(jnp.int32)
+        add = (alive & m).astype(jnp.int32)
+
+        def comb_lin(p, q):  # apply p first, then q
+            pm, pa = p
+            qm, qa = q
+            return qm * pm, qm * pa + qa
+
+        _, runlen = jax.lax.associative_scan(comb_lin, (mult, add), axis=1)
+        do = m & ((runlen & 1) == 1)
+
+        # The merged pair's right partner: next alive slot after a 'do'.
+        pv, pf = _last_alive_scan(do.astype(jnp.int32), alive)
+        prev_do = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), pv[:, :-1]], axis=1)
+        eaten = alive & (prev_do == 1)
+
+        new_ids = jnp.where(do, pair_new, ids)
+        new_ids = jnp.where(eaten, -1, new_ids)
+        new_counts = counts - jnp.sum(do, axis=1).astype(jnp.int32)
+        return new_ids, new_counts, jnp.any(do)
 
     ids = jnp.where(pos < counts[:, None], ids, -1)
     state = (ids, counts, jnp.bool_(True), jnp.int32(0))
@@ -219,6 +261,10 @@ def _encode_impl(ids, counts, lookup, max_iters: int):
         return ids, counts, changed, state[3] + 1
 
     ids, counts, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+    # One stable compaction after the loop (holes sort last).
+    sort_keys = jnp.where(ids >= 0, pos, W + pos)
+    order = jnp.argsort(sort_keys, axis=1, stable=True)
+    ids = jnp.take_along_axis(ids, order, axis=1)
     return ids, counts
 
 
@@ -252,15 +298,15 @@ def _rule_encoder(table: "MergeTable", max_iters: int, interpret: bool):
     if enc is None:
         from stringwars_tpu.ops import rulemap
 
-        rank_rules, id_rules = table.rule_maps()
+        rules = table.rule_maps()
 
         def lookup(keys):
             k = keys.astype(jnp.int32)
-            rank1 = rulemap.range_map(k, rank_rules, interpret=interpret)
-            newid = rulemap.range_map(k, id_rules, interpret=interpret)
+            packed = rulemap.range_map(k, rules, interpret=interpret)
+            hit = packed > 0
             return (
-                jnp.where(rank1 > 0, rank1 - 1, _INF),
-                jnp.where(rank1 > 0, newid, -1),
+                jnp.where(hit, (packed >> 16) - 1, _INF),
+                jnp.where(hit, packed & 0xFFFF, -1),
             )
 
         @jax.jit
