@@ -440,31 +440,56 @@ def bench_byteset(ctx: SuiteContext) -> None:
     staged_acs = []
     flat_ac_consts: list = []
     if on_tpu():
-        # Pallas flat-key rule scan: DFA transitions as step rules walked
-        # with the state plane resident in VMEM (ops/ahocorasick).
-        for a in automata.values():
-            cols, gpos0, overlap, limit = stage_cols(hay_np, n, a.max_len)
-            key_rules, oc_rules = automaton_rules(a)
-            staged_acs.append((key_rules.count, oc_rules.count, overlap))
-            flat_ac_consts += [
-                jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
-                jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
-                jnp.asarray([n, limit], jnp.int32), cols, gpos0,
-            ]
+        # Small sets ride the size-independent Shift-And kernel; bigger
+        # sets fall back to the Pallas flat-key DFA rule scan.
+        from stringwars_tpu.ops.shiftand import MAX_BITS, ShiftAndSet, _sa_scan, stage_masks
+
+        for name, cs in BYTESETS.items():
+            a = automata[name]
+            total_len = len(cs)  # single-byte patterns
+            if total_len <= MAX_BITS:
+                sa = ShiftAndSet([bytes([c]) for c in cs])
+                cols, gpos0, overlap, limit = stage_cols(hay_np, n, sa.max_len)
+                staged_acs.append(("sa", overlap))
+                flat_ac_consts += [
+                    jnp.asarray([n, limit], jnp.int32), stage_masks(sa), cols, gpos0,
+                ]
+            else:
+                cols, gpos0, overlap, limit = stage_cols(hay_np, n, a.max_len)
+                key_rules, oc_rules = automaton_rules(a)
+                staged_acs.append(((key_rules.count, oc_rules.count), overlap))
+                flat_ac_consts += [
+                    jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
+                    jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
+                    jnp.asarray([n, limit], jnp.int32), cols, gpos0,
+                ]
 
         def ac_body(s, e, *flat):
             # Perturbing the DFA tables would corrupt state ids; perturb the
             # haystack bytes instead — scan cost is data-independent.
             outs = []
-            for i, (n_r, n_oc, overlap) in enumerate(staged_acs):
-                ks, kd, os_, od, meta, cols, gpos0 = flat[7 * i : 7 * i + 7]
-                outs.append(
-                    _ac_scan_pallas(
-                        ks, kd, os_, od, meta,
-                        cols ^ perturb_u8(s).astype(jnp.int32),
-                        gpos0, n_r, n_oc, overlap, False,
+            at = 0
+            for kind, overlap in staged_acs:
+                if kind == "sa":
+                    meta, masks, cols, gpos0 = flat[at : at + 4]
+                    at += 4
+                    outs.append(
+                        _sa_scan(
+                            meta, masks, cols ^ perturb_u8(s).astype(jnp.int32),
+                            gpos0, overlap, False,
+                        )
                     )
-                )
+                else:
+                    n_r, n_oc = kind
+                    ks, kd, os_, od, meta, cols, gpos0 = flat[at : at + 7]
+                    at += 7
+                    outs.append(
+                        _ac_scan_pallas(
+                            ks, kd, os_, od, meta,
+                            cols ^ perturb_u8(s).astype(jnp.int32),
+                            gpos0, n_r, n_oc, overlap, False,
+                        )
+                    )
             return fold_salt(s, *outs), e
 
     else:
