@@ -115,23 +115,27 @@ def _fp_kernel(ndim: int, per_width: int, with_counts: bool):
         pos = jax.lax.broadcasted_iota(jnp.int32, (SUBB, W), 1)
         lens = len_ref[:, :1]  # [SUBB, 1] broadcasts against [SUBB, W]
 
-        def dim_body(d, _):
-            wi = d // per_width
-            a = a_ref[d]
-            b = b_ref[d]
+        # Width-outer / dim-inner: the validity mask and gram row are
+        # width-invariants — hoisting them out of the dim loop drops ~2 of
+        # ~7 vector ops per dimension.
+        for wi in range(n_w):
             w = w_ref[wi]
             g = g_ref[pl.ds(wi, 1)][0]
             valid = pos <= jnp.maximum(lens - w, 0)
-            vals = jnp.where(valid, g * a + b, jnp.uint32(0xFFFFFFFF))
-            m = jnp.min(vals, axis=1, keepdims=True)  # [SUBB, 1]
-            out_ref[:, pl.ds(d, 1)] = _mix32(m)
-            if with_counts:
-                cnt_ref[:, pl.ds(d, 1)] = jnp.sum(
-                    (vals == m) & valid, axis=1, keepdims=True, dtype=jnp.int32
-                )
-            return ()
 
-        jax.lax.fori_loop(0, ndim, dim_body, ())
+            def dim_body(d, _, g=g, valid=valid, wi=wi):
+                a = a_ref[d]
+                b = b_ref[d]
+                vals = jnp.where(valid, g * a + b, jnp.uint32(0xFFFFFFFF))
+                m = jnp.min(vals, axis=1, keepdims=True)  # [SUBB, 1]
+                out_ref[:, pl.ds(d, 1)] = _mix32(m)
+                if with_counts:
+                    cnt_ref[:, pl.ds(d, 1)] = jnp.sum(
+                        (vals == m) & valid, axis=1, keepdims=True, dtype=jnp.int32
+                    )
+                return ()
+
+            jax.lax.fori_loop(wi * per_width, (wi + 1) * per_width, dim_body, ())
 
     return kernel
 
