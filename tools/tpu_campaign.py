@@ -287,6 +287,19 @@ def main():
 
     bench("xxh64-1KB-lines-128MB", mk_xxh64, 131072 * 1024)
 
+    def mk_xxh3():
+        from stringwars_tpu.ops import xxh3 as X3
+
+        lay = jax.block_until_ready(X3.prepare3(_lines_tokens()))
+
+        def body(s, e, words_t, last64_t, lengths):
+            h = X3.xxh3_64(X3.XXH3Layout(words_t ^ s, last64_t, lengths))
+            return _fold(s, h.hi, h.lo), e
+
+        return body, (lay.words_t, lay.last64_t, lay.lengths), ()
+
+    bench("xxh3-1KB-lines-128MB", mk_xxh3, 131072 * 1024)
+
     def mk_find_cycle(nbytes, cap, n_needles=64):
         def make():
             from stringwars_tpu.ops.find import pack_needle
