@@ -67,7 +67,15 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
     # fin select+write disappears from the loop.
     slab_out = uniform_full and not local
 
-    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, x_ref, y_ref, fin_ref, rb_ref, sem):
+    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, *scratch):
+        # Scratch: [m, x, y, (fin unless slab_out), rb, sem] — the fin
+        # plane is not allocated at all on the slab-out path (VMEM headroom
+        # for the packed-int16 Gotoh shape).
+        if slab_out:
+            m_ref, x_ref, y_ref, rb_ref, sem = scratch
+            fin_ref = None
+        else:
+            m_ref, x_ref, y_ref, fin_ref, rb_ref, sem = scratch
         # rb stays in HBM (a full-window block would be double-buffered by
         # the pipeline and blow the VMEM budget); one DMA per tile.
         copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
@@ -173,7 +181,12 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
     n_d = A + L + 1
     slab_out = uniform_full and not local  # see _make_kernel
 
-    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, m_ref, fin_ref, rb_ref, sem):
+    def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, *scratch):
+        if slab_out:
+            m_ref, rb_ref, sem = scratch
+            fin_ref = None
+        else:
+            m_ref, fin_ref, rb_ref, sem = scratch
         copy = pltpu.make_async_copy(rb_hbm.at[pl.program_id(0)], rb_ref, sem)
         copy.start()
         neg = _neg_for(dtype)
@@ -254,6 +267,8 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
     else:
         kernel = _make_kernel(A, L, match, mismatch, go, ge, local, dtype, sub, uniform_full)
         slabs = 3
+    slab_out = uniform_full and not local
+    fin_scratch = [] if slab_out else [pltpu.VMEM((A + 1, sub, LANES), dtype)]
     return pl.pallas_call(
         kernel,
         grid=(n_bt,),
@@ -267,7 +282,7 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
         out_shape=jax.ShapeDtypeStruct((n_bt, sub, LANES), jnp.int32),
         scratch_shapes=[
             *[pltpu.VMEM((2, A + 2, sub, LANES), dtype) for _ in range(slabs)],
-            pltpu.VMEM((A + 1, sub, LANES), dtype),  # fin: per-row extraction
+            *fin_scratch,  # per-row extraction plane (skipped on slab-out)
             pltpu.VMEM((rb_pad.shape[1], sub, LANES), dtype),
             pltpu.SemaphoreType.DMA,
         ],
