@@ -17,8 +17,10 @@ byte regardless of pattern count, vs ~3 x rules for the DFA scan.
 
 Counting semantics match AC exactly (every occurrence of every pattern,
 including overlaps and patterns inside patterns: a final bit fires at
-every end position). Total pattern length is capped at 32 chars (one u32
-lane word); bigger sets fall back to the DFA scan (``ac_count``).
+every end position). Total pattern length up to 64 chars rides two u32
+state words per lane (the cross-word carry is one extra shift-OR; no
+pattern straddles the word boundary — staging pads to it); bigger sets
+fall back to the DFA scan (``ac_count``).
 
 Chunk decomposition mirrors the AC kernel: the Shift-And state after any
 prefix depends on only the last ``max_len - 1`` bytes, so 1024 chunks
@@ -40,80 +42,105 @@ from jax.experimental.pallas import tpu as pltpu
 _SUB, _LANES = 8, 128
 _KSTEP = 512  # byte columns per grid step
 
-MAX_BITS = 32  # one u32 word of pattern positions
+MAX_BITS = 64  # up to two u32 words of pattern positions
+_W = 32
 
 
 class ShiftAndSet:
-    """Patterns staged as bitplanes + start/final masks."""
+    """Patterns staged as per-word bitplanes + start/final masks.
+
+    Patterns never straddle the 32-bit word boundary: placement packs
+    first-fit into word 0 then word 1, so the only cross-word carry a
+    shift needs is the architectural bit31 -> bit0 one, and it is always
+    masked off by ``mask(byte)`` at non-start positions of word 1 unless
+    a pattern legitimately continues there (it never does)."""
 
     def __init__(self, patterns: list[bytes]):
         if not patterns:
             raise ValueError("need at least one pattern")
         if any(len(p) == 0 for p in patterns):
             raise ValueError("empty patterns not allowed")
+        if any(len(p) > _W for p in patterns):
+            raise ValueError(f"single pattern longer than {_W} chars")
         total = sum(len(p) for p in patterns)
         if total > MAX_BITS:
             raise ValueError(f"total pattern length {total} exceeds {MAX_BITS}")
         self.patterns = patterns
         self.max_len = max(len(p) for p in patterns)
-        chars = np.zeros(MAX_BITS, np.uint8)
-        start = 0
+        # First-fit placement into word-aligned segments.
+        chars = np.zeros(2 * _W, np.uint8)
+        cursors = [0, _W]
         start_mask = 0
         final_mask = 0
-        for p in patterns:
+        top = 0
+        for p in sorted(patterns, key=len, reverse=True):
+            w = 0 if cursors[0] + len(p) <= _W else 1
+            start = cursors[w]
+            if start + len(p) > (w + 1) * _W:
+                raise ValueError("patterns do not pack into two 32-bit words")
             chars[start : start + len(p)] = np.frombuffer(p, np.uint8)
             start_mask |= 1 << start
             final_mask |= 1 << (start + len(p) - 1)
-            start += len(p)
-        occupied = (1 << start) - 1 if start < 64 else 0xFFFFFFFF
-        # plane[k] bit p = bit k of pattern char p; unoccupied positions
-        # get an impossible sentinel via the occupied mask below.
-        planes = np.zeros(8, np.uint64)
-        for p in range(start):
+            cursors[w] = start + len(p)
+            top = max(top, cursors[w])
+        self.n_words = 2 if top > _W else 1
+        occupied = 0
+        for w in range(self.n_words):
+            occupied |= ((1 << (cursors[w] - w * _W)) - 1) << (w * _W)
+        # plane[k] bit p = bit k of pattern char p.
+        planes = np.zeros((self.n_words, 8), np.uint32)
+        for p in range(2 * _W):
+            if not (occupied >> p) & 1:
+                continue
             for k in range(8):
                 if (int(chars[p]) >> k) & 1:
-                    planes[k] |= np.uint64(1 << p)
-        self.planes = jnp.asarray(planes.astype(np.uint32))
-        self.start_mask = jnp.uint32(start_mask)
-        self.final_mask = jnp.uint32(final_mask)
-        self.occupied = jnp.uint32(occupied & 0xFFFFFFFF)
+                    planes[p // _W, k] |= np.uint32(1 << (p % _W))
+        self.planes = planes
+        self.start_mask = start_mask
+        self.final_mask = final_mask
+        self.occupied = occupied
 
 
-def _sa_kernel(n_strips: int, overlap: int):
+def _sa_kernel(n_strips: int, overlap: int, n_words: int):
     def kernel(meta_ref, masks_ref, bytes_ref, gpos0_ref, out_ref, state_ref, count_ref):
         strip = pl.program_id(0)
 
         @pl.when(strip == 0)
         def _():
-            state_ref[...] = jnp.zeros((_SUB, _LANES), jnp.uint32)
+            state_ref[...] = jnp.zeros((n_words, _SUB, _LANES), jnp.uint32)
             count_ref[...] = jnp.zeros((_SUB, _LANES), jnp.int32)
 
         n_glob = meta_ref[0]
         limit = meta_ref[1]
-        start_mask = jnp.uint32(masks_ref[8])
-        final_mask = jnp.uint32(masks_ref[9])
-        occupied = jnp.uint32(masks_ref[10])
         gpos0 = gpos0_ref[...]
         ones = jnp.full((_SUB, _LANES), 0xFFFFFFFF, jnp.uint32)
 
         def col(k, _):
             byte = bytes_ref[k]  # [SUB, LANES] int32
-            # Myers-style Eq: mask(byte) = AND over bit k of
-            # (plane_k ^ (byte-bit-k ? 0 : ~0)), limited to occupied bits.
-            m = occupied
-            for bit in range(8):
-                mn = jnp.where(((byte >> bit) & 1) == 1, jnp.uint32(0), ones)
-                m &= jnp.uint32(masks_ref[bit]) ^ mn
+            # Per-column XOR masks (byte-bit images), shared by all words.
+            mns = [
+                jnp.where(((byte >> bit) & 1) == 1, jnp.uint32(0), ones)
+                for bit in range(8)
+            ]
             p = strip * _KSTEP + k
             gpos = gpos0 + p
             valid = (gpos >= 0) & (gpos < n_glob)
-            state = ((state_ref[...] << 1) | start_mask) & m
-            state = jnp.where(valid, state, state_ref[...])
-            state_ref[...] = state
-            hits = jax.lax.population_count(state & final_mask).astype(jnp.int32)
-            count_ref[...] = count_ref[...] + jnp.where(
-                valid & (p >= overlap) & (p < limit), hits, 0
-            )
+            counting = valid & (p >= overlap) & (p < limit)
+            hits = jnp.zeros((_SUB, _LANES), jnp.int32)
+            for w in range(n_words):
+                base = 11 * w
+                # Myers-style Eq: mask(byte) = AND over bit k of
+                # (plane_k ^ mn_k), limited to occupied bits.
+                m = jnp.uint32(masks_ref[base + 10])
+                for bit in range(8):
+                    m &= jnp.uint32(masks_ref[base + bit]) ^ mns[bit]
+                state = ((state_ref[w] << 1) | jnp.uint32(masks_ref[base + 8])) & m
+                state = jnp.where(valid, state, state_ref[w])
+                state_ref[w] = state
+                hits += jax.lax.population_count(
+                    state & jnp.uint32(masks_ref[base + 9])
+                ).astype(jnp.int32)
+            count_ref[...] = count_ref[...] + jnp.where(counting, hits, 0)
             return ()
 
         jax.lax.fori_loop(0, _KSTEP, col, ())
@@ -127,10 +154,12 @@ def _sa_kernel(n_strips: int, overlap: int):
 
 @functools.partial(jax.jit, static_argnames=("overlap", "interpret"))
 def _sa_scan(meta, masks, cols, gpos0, overlap: int, interpret: bool = False):
-    """cols: int32 [P, 8, 128] byte columns (P multiple of KSTEP)."""
+    """cols: int32 [P, 8, 128] byte columns (P multiple of KSTEP);
+    masks: i32[11 * n_words] per-word planes+masks (``stage_masks``)."""
     n_strips = cols.shape[0] // _KSTEP
+    n_words = masks.shape[0] // 11
     out = pl.pallas_call(
-        _sa_kernel(n_strips, overlap),
+        _sa_kernel(n_strips, overlap, n_words),
         grid=(n_strips,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -141,7 +170,7 @@ def _sa_scan(meta, masks, cols, gpos0, overlap: int, interpret: bool = False):
         out_specs=pl.BlockSpec((_SUB, _LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((_SUB, _LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((_SUB, _LANES), jnp.uint32),
+            pltpu.VMEM((n_words, _SUB, _LANES), jnp.uint32),
             pltpu.VMEM((_SUB, _LANES), jnp.int32),
         ],
         interpret=interpret,
@@ -150,12 +179,15 @@ def _sa_scan(meta, masks, cols, gpos0, overlap: int, interpret: bool = False):
 
 
 def stage_masks(sa: ShiftAndSet) -> jax.Array:
-    """SMEM operand: 8 bitplanes + start/final/occupied masks as i32[11]."""
-    vals = list(np.asarray(sa.planes, np.uint32)) + [
-        np.uint32(sa.start_mask),
-        np.uint32(sa.final_mask),
-        np.uint32(sa.occupied),
-    ]
+    """SMEM operand: per word, 8 bitplanes + start/final/occupied -> i32."""
+    vals: list = []
+    for w in range(sa.n_words):
+        vals += list(sa.planes[w])
+        vals += [
+            np.uint32((sa.start_mask >> (w * _W)) & 0xFFFFFFFF),
+            np.uint32((sa.final_mask >> (w * _W)) & 0xFFFFFFFF),
+            np.uint32((sa.occupied >> (w * _W)) & 0xFFFFFFFF),
+        ]
     return jnp.asarray(np.asarray(vals, np.uint32).view(np.int32))
 
 

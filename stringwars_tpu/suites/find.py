@@ -447,8 +447,11 @@ def bench_byteset(ctx: SuiteContext) -> None:
         for name, cs in BYTESETS.items():
             a = automata[name]
             total_len = len(cs)  # single-byte patterns
-            if total_len <= MAX_BITS:
-                sa = ShiftAndSet([bytes([c]) for c in cs])
+            try:
+                sa = ShiftAndSet([bytes([c]) for c in cs]) if total_len <= MAX_BITS else None
+            except ValueError:  # doesn't pack into the state words
+                sa = None
+            if sa is not None:
                 cols, gpos0, overlap, limit = stage_cols(hay_np, n, sa.max_len)
                 staged_acs.append(("sa", overlap))
                 flat_ac_consts += [

@@ -45,8 +45,10 @@ def test_shiftand_matches_ac(rng):
 
 
 def test_shiftand_capacity_guard():
+    with pytest.raises(ValueError, match="longer than"):
+        ShiftAndSet([b"x" * 33])
     with pytest.raises(ValueError, match="exceeds"):
-        ShiftAndSet([b"x" * (MAX_BITS + 1)])
+        ShiftAndSet([bytes([97 + i]) * 22 for i in range(3)])
 
 
 def test_shiftand_seams(rng):
@@ -55,3 +57,18 @@ def test_shiftand_seams(rng):
     sa = ShiftAndSet([b"needle", b"dle"])
     got = shiftand_count(sa, hay, interpret=True)
     assert got == 3000 * 2
+
+
+def test_shiftand_two_words(rng):
+    # > 32 total chars packs into two independent state words.
+    patterns = [b"needle", b"haystack", b"pattern", b"search", b"string", b"find", b"match"]
+    assert sum(map(len, patterns)) > 32
+    sa = ShiftAndSet(patterns)
+    assert sa.n_words == 2
+    text = bytearray(rng.integers(97, 123, 20_000, dtype=np.uint8))
+    for i in range(0, 19_000, 371):
+        p = patterns[i % len(patterns)]
+        text[i : i + len(p)] = p
+    hay = bytes(text)
+    got = shiftand_count(sa, np.frombuffer(hay, np.uint8), interpret=True)
+    assert got == brute_count(patterns, hay)
