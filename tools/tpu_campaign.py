@@ -862,6 +862,27 @@ def main():
 
     bench("ac-shiftand-64MB", mk_ac_shiftand, 64 << 20)
 
+    def mk_ac_shiftand8():
+        # Realistic dictionary set (> 32 total chars -> two state words).
+        from stringwars_tpu.ops.ahocorasick import stage_cols
+        from stringwars_tpu.ops.shiftand import ShiftAndSet, _sa_scan, stage_masks
+
+        n = 64 << 20
+        sa = ShiftAndSet(
+            [b"needle", b"haystack", b"pattern", b"search", b"string", b"find", b"match", b"token"]
+        )
+        cols, gpos0, overlap, limit = stage_cols(_flat(n), n, sa.max_len)
+        meta = jnp.asarray([n, limit], jnp.int32)
+        masks = stage_masks(sa)
+
+        def body(s, e, mt, mk, c, g0):
+            cnt = _sa_scan(mt, mk, c ^ _pert_u8(s).astype(jnp.int32), g0, overlap, False)
+            return _fold(s, cnt), e
+
+        return body, (meta, masks, cols, gpos0), ()
+
+    bench("ac-shiftand8-64MB", mk_ac_shiftand8, 64 << 20)
+
     def mk_myers_dna():
         from stringwars_tpu.ops.myers_pallas import _myers, myers_from_tokens
 
