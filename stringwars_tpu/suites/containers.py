@@ -127,11 +127,34 @@ def main() -> None:
 
     ctx.run("filters/swtpu::fuse8-build(host)", "keys", fuse_build_routine)
 
-    def fuse_query_routine() -> WorkUnits:
-        sync(FLT.fuse_query(fuse, out_keys))
-        return WorkUnits(elements=max(out_keys.size, 1), bytes=out_tape.total_bytes)
+    # Chained device query: the staged (h0, h1, h2, fp) probes roll by the
+    # carried salt so no dispatch repeats (the hash staging is host-side
+    # and excluded, as in the reference's query loop).
+    import jax.numpy as jnp
 
-    ctx.run("filters/swtpu::fuse8-query<1chip>", "keys", fuse_query_routine)
+    from stringwars_tpu.utils.harness import DeviceRoutine, fold_salt
+
+    h_np, fp_np = FLT._fuse_hashes(
+        np.asarray(out_keys, np.uint64), fuse.seed, fuse.segment_length, fuse.segment_count_length
+    )
+    probes = tuple(jnp.asarray(h_np[i]) for i in range(3)) + (jnp.asarray(fp_np),)
+
+    def fuse_q_body(s, e, table, h0, h1, h2, fp):
+        shift = (s % jnp.uint32(max(h0.shape[0], 1))).astype(jnp.int32)
+        got = FLT._fuse_query_dev(
+            table, jnp.roll(h0, shift), jnp.roll(h1, shift), jnp.roll(h2, shift), jnp.roll(fp, shift)
+        )
+        return fold_salt(s, got), e
+
+    ctx.run(
+        "filters/swtpu::fuse8-query<1chip>",
+        "keys",
+        DeviceRoutine(
+            body=fuse_q_body,
+            consts=(fuse.fingerprints,) + probes,
+            units=WorkUnits(elements=max(out_keys.size, 1), bytes=out_tape.total_bytes),
+        ),
+    )
 
 
 if __name__ == "__main__":
