@@ -166,21 +166,51 @@ def main() -> None:
     fm = max(int(fm), 1)
     needle_cp = jnp.asarray(np.asarray(fn)[:fm])
 
-    def find_body(s, e, hay, hn, nd):
-        # Perturb the needle codepoints (window-compare cost is
-        # data-independent; matches just change).
-        pert = (s & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        cnt = CF._window_count(hay, nd ^ pert, hn, fm)
-        return fold_salt(s, cnt), e
+    folded_np = np.asarray(folded_hay)[: int(fold_count)]
+    needle_np = np.asarray(fn)[:fm]
+    ascii_fold = (
+        jax.default_backend() == "tpu"
+        and folded_np.size > 0
+        and int(folded_np.max()) < 128
+        and int(needle_np.max(initial=0)) < 128
+    )
+    if ascii_fold:
+        # ASCII-folding corpora repack the folded stream to bytes and ride
+        # the packed-word find panel (the i32 window compare pays 4x the
+        # traffic plus unfused shifted slices).
+        from stringwars_tpu.ops.find import pack_needle
+        from stringwars_tpu.ops.find_pallas import StagedHaystack, _count
+
+        staged = StagedHaystack(folded_np.astype(np.uint8))
+        cap = 4
+        while 4 * cap - 3 < fm:
+            cap *= 2
+        packed = pack_needle(needle_np.astype(np.uint8).tobytes(), cap)
+        w4 = jax.lax.bitcast_convert_type(jnp.asarray(packed.words), jnp.int32)
+        m4 = jax.lax.bitcast_convert_type(jnp.asarray(packed.masks), jnp.int32)
+        meta = jnp.asarray([staged.n, int(packed.length), staged.chunkw], jnp.int32)
+
+        def find_body(s, e, rows, words4, masks4, mt):
+            spread = jax.lax.bitcast_convert_type(s * jnp.uint32(0x9E3779B1), jnp.int32)
+            cnt = _count(rows, words4 ^ spread, masks4, mt, packed.capacity, False)
+            return fold_salt(s, cnt), e
+
+        consts = (staged.rows, w4, m4, meta)
+    else:
+
+        def find_body(s, e, hay, hn, nd):
+            # Perturb the needle codepoints (window-compare cost is
+            # data-independent; matches just change).
+            pert = (s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            cnt = CF._window_count(hay, nd ^ pert, hn, fm)
+            return fold_salt(s, cnt), e
+
+        consts = (folded_hay, fold_count, needle_cp)
 
     ctx.run(
         "case-insensitive-find/swtpu::uncased_find<1chip>",
         "bytes",
-        DeviceRoutine(
-            body=find_body,
-            consts=(folded_hay, fold_count, needle_cp),
-            units=WorkUnits(1, n),
-        ),
+        DeviceRoutine(body=find_body, consts=consts, units=WorkUnits(1, n)),
     )
 
     lower_text = host_text.casefold()

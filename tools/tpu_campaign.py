@@ -681,6 +681,32 @@ def main():
 
     bench("uncased-find-8cp-128MB", mk_uncased_find, 128 << 20)
 
+    def mk_uncased_find_ascii():
+        # ASCII-folding fast path: folded stream repacked to bytes rides
+        # the packed-word find panel; 64 folded needles per dispatch.
+        from stringwars_tpu.ops.casefold import fold_bytes
+        from stringwars_tpu.ops.find import pack_needle
+        from stringwars_tpu.ops.find_pallas import NeedleBatch, StagedHaystack, _count_batch
+
+        n = 128 << 20
+        folded, count = fold_bytes(_flat(n))
+        staged = StagedHaystack(np.asarray(folded)[: int(count)].astype(np.uint8))
+        rng = np.random.default_rng(7)
+        needles = [
+            pack_needle(rng.integers(97, 123, 8, dtype=np.uint8).tobytes(), 4)
+            for _ in range(64)
+        ]
+        batch = NeedleBatch(staged, needles)
+
+        def body(s, e, rows, words4, masks4, meta):
+            spread = jax.lax.bitcast_convert_type(s * jnp.uint32(0x9E3779B1), jnp.int32)
+            counts = _count_batch(rows, words4 ^ spread, masks4, meta, batch.k_words, False)
+            return _fold(s, counts), e
+
+        return body, (staged.rows, batch.words4, batch.masks4, batch.meta), ()
+
+    bench("uncased-find-ascii64-8cp-128MB", mk_uncased_find_ascii, 64 * (128 << 20))
+
     # --- round-3 rows: Unicode tier (gather-free), sorting, AC, DNA DP ---
 
     def _multilingual_bytes(n_bytes, seed=5):
