@@ -17,7 +17,7 @@ from stringwars_tpu.ops import filters as FLT
 from stringwars_tpu.ops import hash as H
 from stringwars_tpu.suites._common import SuiteContext, chained_layouts, setup_suite
 from stringwars_tpu.tape import PaddedTokens, Tape
-from stringwars_tpu.utils.harness import WorkUnits, sync
+from stringwars_tpu.utils.harness import WorkUnits
 
 MULTISEED_SEEDS = tuple(range(1, 17))  # 16 fixed seeds (reference uses 16 odd)
 

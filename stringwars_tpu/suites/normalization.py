@@ -29,7 +29,6 @@ from stringwars_tpu.utils.harness import (
     DeviceRoutine,
     WorkUnits,
     fold_salt,
-    sync,
 )
 
 

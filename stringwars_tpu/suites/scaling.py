@@ -20,9 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from stringwars_tpu.parallel.pipeline import demo_inputs, make_sharded_step
+from stringwars_tpu.parallel.pipeline import make_sharded_step
 from stringwars_tpu.suites._common import setup_suite
-from stringwars_tpu.utils.harness import WorkUnits, sync
+from stringwars_tpu.utils.harness import WorkUnits
 
 
 def build_inputs(mesh: Mesh, tape, tokens_per_chip: int, hay_bytes_per_chip: int):
