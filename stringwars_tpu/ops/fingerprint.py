@@ -127,11 +127,17 @@ def _fp_kernel(ndim: int, per_width: int, with_counts: bool):
                 a = a_ref[d]
                 b = b_ref[d]
                 vals = jnp.where(valid, g * a + b, jnp.uint32(0xFFFFFFFF))
-                m = jnp.min(vals, axis=1, keepdims=True)  # [SUBB, 1]
+                # Mosaic has no unsigned reductions: flip the sign bit and
+                # bitcast — uint32 order becomes int32 order (the 0xFFFFFFFF
+                # sentinel lands on int32 max), min there, flip back.
+                flip = jnp.uint32(0x80000000)
+                signed = jax.lax.bitcast_convert_type(vals ^ flip, jnp.int32)
+                m_signed = jnp.min(signed, axis=1, keepdims=True)  # [SUBB, 1]
+                m = jax.lax.bitcast_convert_type(m_signed, jnp.uint32) ^ flip
                 out_ref[:, pl.ds(d, 1)] = _mix32(m)
                 if with_counts:
                     cnt_ref[:, pl.ds(d, 1)] = jnp.sum(
-                        (vals == m) & valid, axis=1, keepdims=True, dtype=jnp.int32
+                        (signed == m_signed) & valid, axis=1, keepdims=True, dtype=jnp.int32
                     )
                 return ()
 
