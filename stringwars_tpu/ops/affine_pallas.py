@@ -58,6 +58,21 @@ def _neg_for(dtype):
     return jnp.array(_NEG16 if dtype == jnp.int16 else _NEG, dtype)
 
 
+def _subst_for(a_chars, bc, match: int, mismatch: int, dtype):
+    """Per-cell substitution score. The i32 path is a compare+select; for
+    packed i16 Mosaic on v5e rejects vector cmpi (``Target does not
+    support this comparison``), so the match test becomes arithmetic:
+    chars are small integers, so ``max(0, 1 - |a - b|)`` is exactly the
+    equality indicator — max/neg/add only, all supported on i16 lanes."""
+    if dtype == jnp.int16:
+        diff = a_chars - bc
+        ind = jnp.maximum(
+            jnp.array(1, dtype) - jnp.maximum(diff, -diff), jnp.array(0, dtype)
+        )
+        return jnp.array(mismatch, dtype) + jnp.array(match - mismatch, dtype) * ind
+    return jnp.where(a_chars == bc, jnp.array(match, dtype), jnp.array(mismatch, dtype))
+
+
 def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, local: bool, dtype, sub: int, uniform_full: bool = False):
     AP1 = A + 1
     P0 = A  # reversed-b pad so the slice start P0 + L - d stays >= 0
@@ -121,7 +136,7 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             y1u = y_ref[prev, pl.ds(1, AP1)][0]
 
             bc = rb_ref[pl.ds(P0 + L - d + 1, AP1)]  # b[j-1] along the diagonal
-            subst = jnp.where(a_chars == bc, jnp.array(match, dtype), jnp.array(mismatch, dtype))
+            subst = _subst_for(a_chars, bc, match, mismatch, dtype)
 
             m_new = jnp.maximum(jnp.maximum(m2s, x2s), y2s) + subst
             if local:
@@ -144,8 +159,9 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             return ()
 
         jax.lax.fori_loop(1, n_d, step, ())
+        # Reductions widen to i32 first (Mosaic: no int16 reductions).
         if local:
-            out_ref[0] = jnp.max(fin_ref[...], axis=0).astype(jnp.int32)
+            out_ref[0] = jnp.max(fin_ref[...].astype(jnp.int32), axis=0)
         elif slab_out:
             # Cell (A, L) lives on diag A+L (the final step) at slab row AP1.
             par = (A + L) % 2
@@ -155,8 +171,9 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
             out_ref[0] = best.astype(jnp.int32)
         else:
             out_ref[0] = jnp.max(
-                jnp.where(ii == alen, fin_ref[...], neg), axis=0
-            ).astype(jnp.int32)
+                jnp.where(ii == alen, fin_ref[...].astype(jnp.int32), jnp.int32(_NEG)),
+                axis=0,
+            )
 
     return kernel
 
@@ -213,7 +230,7 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
             m1u = m_ref[prev, pl.ds(1, AP1)][0]  # (i, j-1) of diag d-1
 
             bc = rb_ref[pl.ds(P0 + L - d + 1, AP1)]
-            subst = jnp.where(a_chars == bc, jnp.array(match, dtype), jnp.array(mismatch, dtype))
+            subst = _subst_for(a_chars, bc, match, mismatch, dtype)
 
             m_new = jnp.maximum(
                 m2s + subst, jnp.maximum(m1s, m1u) + jnp.array(g, dtype)
@@ -229,14 +246,15 @@ def _make_kernel_linear(A: int, L: int, match: int, mismatch: int, g: int, local
 
         jax.lax.fori_loop(1, n_d, step, ())
         if local:
-            out_ref[0] = jnp.max(fin_ref[...], axis=0).astype(jnp.int32)
+            out_ref[0] = jnp.max(fin_ref[...].astype(jnp.int32), axis=0)
         elif slab_out:
             par = (A + L) % 2
             out_ref[0] = m_ref[par, AP1].astype(jnp.int32)
         else:
             out_ref[0] = jnp.max(
-                jnp.where(ii == alen, fin_ref[...], neg), axis=0
-            ).astype(jnp.int32)
+                jnp.where(ii == alen, fin_ref[...].astype(jnp.int32), jnp.int32(_NEG)),
+                axis=0,
+            )
 
     return kernel
 

@@ -203,28 +203,69 @@ def _inert_steps(compat: bool):
     return compile_steps(table), table
 
 
-@functools.partial(jax.jit, static_argnames=("compat",))
-def rows_inert(data: jax.Array, lengths: jax.Array, compat: bool = False) -> jax.Array:
-    """bool[B]: each UTF-8 row is normalization-inert (already NFC *and*
-    NFD verbatim: identity decomposition, ccc 0, not a combiner).
-
-    The production normalize path on TPU: real text is overwhelmingly
-    inert, so the per-row quick check (rule map, zero gathers) plus a
-    copy IS the normalize — the same fast path ICU's quick-check serves.
-    Non-inert rows route through the exact stream kernels.
-    """
+def _rows_all_in_class(data: jax.Array, lengths: jax.Array, rules, table) -> jax.Array:
+    """bool[B]: every codepoint of each UTF-8 row satisfies a compiled
+    boolean class table (rule map on TPU, gather elsewhere)."""
     from stringwars_tpu.ops.casefold import _decode_rows
     from stringwars_tpu.ops.rulemap import step_map
 
-    rules, table = _inert_steps(compat)
     cp, is_lead = _decode_rows(data.astype(jnp.int32), lengths)
     ok = step_map(cp, rules, table).astype(bool)
     return jnp.all(ok | ~is_lead, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("compat",))
+def rows_inert(data: jax.Array, lengths: jax.Array, compat: bool = False) -> jax.Array:
+    """bool[B]: each UTF-8 row is normalization-inert (already NFC *and*
+    NFD verbatim: identity decomposition, ccc 0, not a combiner).
+
+    The NFD/NFKD quick check: non-inert rows route through the exact
+    decompose kernel. (For NFC/NFKC use ``rows_nfc_verbatim`` — the
+    UAX#15 quick-check class is much wider, since precomposed text is
+    already NFC.)
+    """
+    rules, table = _inert_steps(compat)
+    return _rows_all_in_class(data, lengths, rules, table)
+
+
+@functools.lru_cache(maxsize=None)
+def _nfc_fast_steps(compat: bool):
+    from stringwars_tpu.ops.rulemap import compile_steps
+
+    table = tables.nfc_fast_table(compat).astype(np.int32)
+    return compile_steps(table), table
+
+
+@functools.partial(jax.jit, static_argnames=("compat",))
+def rows_nfc_verbatim(data: jax.Array, lengths: jax.Array, compat: bool = False) -> jax.Array:
+    """bool[B]: each UTF-8 row is verbatim its own NFC (NFKC w/ ``compat``).
+
+    The production NFC path on TPU — the UAX#15 quick check (QC=Yes and
+    ccc==0 per codepoint) that real precomposed text passes, exactly the
+    fast path ICU serves; rows that fail (combining marks, compat forms)
+    route through the exact compose kernels. The first round of this
+    kernel keyed on composition-INERTNESS instead, which misroutes all
+    precomposed Cyrillic/Latin-1 text into the sequential compose scan
+    (and a 32 MB multilingual corpus crashed the TPU worker with a
+    multi-million-step lax.scan).
+    """
+    rules, table = _nfc_fast_steps(compat)
+    return _rows_all_in_class(data, lengths, rules, table)
+
+
+def rows_nfc_verbatim_host(data_np: np.ndarray, lengths_np: np.ndarray, compat: bool = False) -> np.ndarray:
+    """Staging-time (numpy) twin of ``rows_nfc_verbatim``."""
+    _rules, table = _nfc_fast_steps(compat)
+    return _rows_check_host(data_np, lengths_np, table)
+
+
 def rows_inert_host(data_np: np.ndarray, lengths_np: np.ndarray, compat: bool = False) -> np.ndarray:
     """Staging-time (numpy) twin of ``rows_inert`` for slow-row routing."""
     _rules, table = _inert_steps(compat)
+    return _rows_check_host(data_np, lengths_np, table)
+
+
+def _rows_check_host(data_np: np.ndarray, lengths_np: np.ndarray, table: np.ndarray) -> np.ndarray:
     B, W = data_np.shape
     b = data_np.astype(np.int64)
     is_lead = (b & 0xC0) != 0x80

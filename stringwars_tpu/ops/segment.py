@@ -34,6 +34,59 @@ _ASCII_WS = (9, 10, 11, 12, 13, 32)
 # last-valid-value associative scans.
 # ---------------------------------------------------------------------------
 
+_SCAN_C = 1024  # lane width of blocked scans
+
+
+def _assoc_scan(comb, xs):
+    """``jax.lax.associative_scan`` for huge 1-D streams, evaluated as a
+    two-level blocked scan: per-row scans over a [R, 1024] reshape plus a
+    tiny carry scan over the R row tails. XLA's log-depth lowering of a
+    whole-stream 1-D scan at 64-128 MB scale produces programs the
+    server-side TPU compiler takes minutes (or is OOM-killed) on; the
+    blocked form compiles as small, cleanly-tiled 2-D ops.
+
+    ``comb`` must be associative over the pytree elements (the same
+    contract as ``associative_scan``); zero-padding the tail is safe
+    because pad slots sit after every real element and are sliced off.
+    """
+    tmap = jax.tree_util.tree_map
+    leaves = jax.tree_util.tree_leaves(xs)
+    n = int(leaves[0].shape[0])
+    C = _SCAN_C
+    if n <= 2 * C:
+        return jax.lax.associative_scan(comb, xs)
+    R = -(-n // C)
+    pad = R * C - n
+    blocked = tmap(lambda a: jnp.pad(a, (0, pad)).reshape(R, C), xs)
+    rows = jax.lax.associative_scan(comb, blocked, axis=1)
+    inc = jax.lax.associative_scan(comb, tmap(lambda a: a[:, -1], rows))
+    # Rows 1..R-1 get the exclusive carry of the preceding rows' tails.
+    carried = comb(
+        tmap(lambda a: a[:-1, None], inc),
+        tmap(lambda a: a[1:], rows),
+    )
+    return tmap(
+        lambda first, rest: jnp.concatenate([first[None], rest], 0).reshape(R * C)[:n],
+        tmap(lambda a: a[0], rows),
+        carried,
+    )
+
+
+def _cumsum_1d(x: jax.Array) -> jax.Array:
+    """Blocked ``jnp.cumsum`` twin of ``_assoc_scan`` (same compile-size
+    rationale); int32 streams."""
+    n = int(x.shape[0])
+    C = _SCAN_C
+    if n <= 2 * C:
+        return jnp.cumsum(x)
+    R = -(-n // C)
+    b = jnp.pad(x, (0, R * C - n)).reshape(R, C)
+    rc = jnp.cumsum(b, axis=1)
+    tot = rc[:, -1]
+    off = jnp.cumsum(tot) - tot
+    return (rc + off[:, None]).reshape(R * C)[:n]
+
+
 @functools.lru_cache(maxsize=None)
 def _steps(table_name: str, max_cp: int | None = None):
     from stringwars_tpu.ops.rulemap import compile_steps
@@ -62,7 +115,7 @@ def _last_value(values: jax.Array, mask: jax.Array, init) -> jax.Array:
         bv, bf = b
         return jnp.where(bf, bv, av), af | bf
 
-    v, f = jax.lax.associative_scan(comb, (jnp.where(mask, values, 0), mask))
+    v, f = _assoc_scan(comb, (jnp.where(mask, values, 0), mask))
     return jnp.where(f, v, init)
 
 
@@ -106,7 +159,7 @@ def _next1(x: jax.Array, is_lead: jax.Array, default) -> jax.Array:
 
 
 def _first_lead(is_lead: jax.Array) -> jax.Array:
-    return is_lead & (jnp.cumsum(is_lead.astype(jnp.int32)) == 1)
+    return is_lead & (_cumsum_1d(is_lead.astype(jnp.int32)) == 1)
 
 
 def _last_two_values(values: jax.Array, mask: jax.Array, init) -> tuple[jax.Array, jax.Array]:
@@ -125,7 +178,7 @@ def _last_two_values(values: jax.Array, mask: jax.Array, init) -> tuple[jax.Arra
         prev = jnp.where(bc >= 2, bp, jnp.where(bc == 1, al, ap))
         return last, prev, jnp.minimum(ac + bc, 2)
 
-    last, prev, cnt = jax.lax.associative_scan(comb, (v, jnp.zeros_like(v), cnt0))
+    last, prev, cnt = _assoc_scan(comb, (v, jnp.zeros_like(v), cnt0))
     return (
         jnp.where(cnt >= 1, last, init),
         jnp.where(cnt >= 2, prev, init),
@@ -167,7 +220,7 @@ _G = {name: i for i, name in enumerate(tables.GCB_VALUES)}
 
 
 def _cummax(x: jax.Array) -> jax.Array:
-    return jax.lax.associative_scan(jnp.maximum, x)
+    return _assoc_scan(jnp.maximum, x)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "max_cp"))
@@ -185,7 +238,7 @@ def grapheme_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
 
     # GB12/13 RI parity: runs of RI ending at the previous cp, odd length.
     ri = cls == G["Regional_Indicator"]
-    s = jnp.cumsum(ri.astype(jnp.int32))
+    s = _cumsum_1d(ri.astype(jnp.int32))
     base = _cummax(jnp.where(~ri & is_lead, s, 0))
     ri_run = s - base  # consecutive RIs ending at this cp (inclusive)
     ri_run_prev = _prev1(ri_run, is_lead, jnp.int32(0))
@@ -219,7 +272,7 @@ def grapheme_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
     # Linker [Extend|Linker]* x Consonant.
     incb = jnp.where(is_lead, _class_of(cp, "incb_table", max_cp), _CONT)
     el = (incb == 1) | (incb == 2)  # Extend | Linker
-    linker_cum = jnp.cumsum((incb == 2).astype(jnp.int32))
+    linker_cum = _cumsum_1d((incb == 2).astype(jnp.int32))
     # Class / linker-cumsum AT the last non-(Extend|Linker) cp before this one.
     incb_at_j = _prev1(_last_value(incb, ~el & is_lead, jnp.int32(-1)), is_lead, jnp.int32(-1))
     cum_at_j = _prev1(_last_value(linker_cum, ~el & is_lead, jnp.int32(0)), is_lead, jnp.int32(0))
@@ -302,7 +355,7 @@ def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tu
 
     # RI parity over non-ignored RIs.
     ri = (cls == W["Regional_Indicator"]) & ~ignore
-    s = jnp.cumsum(ri.astype(jnp.int32))
+    s = _cumsum_1d(ri.astype(jnp.int32))
     base = _cummax(jnp.where(~ri & ~ignore & is_lead, s, 0))
     ri_run = s - base
     ri_run_prev_eff = jnp.pad(_last_value(ri_run, keep, 0), (1, 0))[:n]
@@ -321,7 +374,7 @@ def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tu
     # (unless after sot / newline, handled via wb3ab). X may itself be an
     # ignorable (e.g. Extend at sot absorbs a following Extend — official
     # WordBreakTest `÷ 0300 × 0300 ÷`).
-    not_first_cp = jnp.cumsum(is_lead.astype(jnp.int32)) > 1
+    not_first_cp = _cumsum_1d(is_lead.astype(jnp.int32)) > 1
     no_break |= ignore & not_first_cp & ~prev_is_nl
     # Rules on effective classes (current must be non-ignored).
     cur = jnp.where(ignore, jnp.int32(-2), cls)  # ignorables already decided
@@ -544,7 +597,7 @@ def linebreak_opportunities(data: jax.Array, n: int, *, max_cp: int | None = Non
 
     # RI parity (LB30a).
     ri = eff == L["RI"]
-    s = jnp.cumsum(ri.astype(jnp.int32))
+    s = _cumsum_1d(ri.astype(jnp.int32))
     base = _cummax(jnp.where(~ri & is_lead, s, 0))
     ri_run_prev = _prev1(s - base, is_lead, jnp.int32(0))
 

@@ -231,8 +231,14 @@ def _normalize_routine(toks, rows_np, lengths_np, form: str, compat: bool, n: in
     non-inert rows concatenate into a stream the exact kernels normalize
     every iteration. Work per iteration = the whole corpus.
     """
-    inert = NORM.rows_inert_host(rows_np, lengths_np, compat)
-    slow_rows = np.flatnonzero(~inert)
+    # NFC/NFKC key the quick check on the UAX#15 QC class (precomposed
+    # text is verbatim NFC); NFD/NFKD need actual decompositions, so
+    # their fast class is the narrower inert set.
+    if form in ("nfc", "nfkc"):
+        fast = NORM.rows_nfc_verbatim_host(rows_np, lengths_np, compat)
+    else:
+        fast = NORM.rows_inert_host(rows_np, lengths_np, compat)
+    slow_rows = np.flatnonzero(~fast)
     slow_bytes = bytearray()
     for r in slow_rows:
         slow_bytes += rows_np[r, : lengths_np[r]].tobytes()
@@ -248,7 +254,10 @@ def _normalize_routine(toks, rows_np, lengths_np, form: str, compat: bool, n: in
     has_slow = slow_cps.shape[0] > 0
 
     def body(s, e, d, ln, slow):
-        quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat)
+        if form in ("nfc", "nfkc"):
+            quick = NORM.rows_nfc_verbatim(_roll(s, d), _roll(s, ln), compat)
+        else:
+            quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat)
         outs = [quick]
         if has_slow:
             rolled = _roll(s, slow)

@@ -147,12 +147,10 @@ def _gotoh_routine(scope: DeviceScope, cells, total_bytes, gotoh) -> DeviceRouti
     from stringwars_tpu.ops.affine_pallas import _affine, affine_from_tokens
 
     ta, tb, mt, mm, go, ge, local = gotoh
-    # Packed-int16 lanes (2 cells per vreg lane) whenever scores fit;
-    # the corpus-driven A/L and costs are known at staging time.
-    amax = max((len(t) for t in ta), default=1)
-    lmax = max((len(t) for t in tb), default=1)
-    pack16 = (amax + lmax + 2) * max(abs(mt), abs(mm), abs(go), abs(ge)) < (1 << 14)
-    ab = affine_from_tokens(ta, tb, pack16=pack16)
+    # pack16 (2 cells per vreg lane) stays off: Mosaic on the current
+    # toolchain cannot legalize arith.maxsi on packed (8,128,2)xi16
+    # vectors, so the int16 kernels compile only in interpret mode.
+    ab = affine_from_tokens(ta, tb)
     consts = (ab.a_chars, ab.rb_pad, ab.alen, ab.blen)
 
     def run(a_chars, rb_pad, alen, blen, pert):

@@ -147,6 +147,40 @@ def composition_pairs() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
+def nfc_fast_table(compat: bool) -> np.ndarray:
+    """bool[MAX_CP]: cp is "NFC-fast" — UAX#15 quick-check **Yes** with
+    ccc == 0, so any run of such codepoints is verbatim its own NFC
+    (NFKC when ``compat``). This is the property ICU's quick check keys
+    on; it is much wider than composition-inertness — precomposed text
+    (й, ä, 가) is QC=Yes even though those characters HAVE canonical
+    decompositions, which is exactly why real DE/RU/EL corpora take the
+    fast path.
+
+    Derivation: QC=No iff ``normalize(form, cp)`` rewrites the lone cp
+    (it can never survive into the form); QC=Maybe iff the cp may compose
+    with a preceding starter — primary combiners plus Hangul V/T jamo;
+    plus ccc == 0 so no reordering question arises. Surrogates excluded.
+    """
+    form = "NFKC" if compat else "NFC"
+    path = _cache_path(f"{form.lower()}-fast")
+    if os.path.exists(path):
+        return np.load(path)["fast"]
+    fast = np.zeros(MAX_CP, dtype=bool)
+    ccc = ccc_table()
+    for cp in range(MAX_CP):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        c = chr(cp)
+        fast[cp] = ccc[cp] == 0 and unicodedata.normalize(form, c) == c
+    _, combiners, _ = composition_pairs()
+    fast[combiners] = False
+    fast[0x1161:0x1176] = False  # Hangul V jamo (QC=Maybe)
+    fast[0x11A8:0x11C3] = False  # Hangul T jamo (QC=Maybe)
+    np.savez_compressed(path, fast=fast)
+    return fast
+
+
+@functools.lru_cache(maxsize=None)
 def whitespace_table() -> np.ndarray:
     ws = np.zeros(MAX_CP, dtype=bool)
     for cp in range(0x4000):  # all UCD White_Space cps are < 0x4000

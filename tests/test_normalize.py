@@ -105,3 +105,67 @@ def test_rows_inert_matches_is_normalized():
         # Conservative direction: the combining/decomposable rows must not
         # be declared inert.
         assert not got[3] and not got[4]
+
+
+def test_rows_nfc_verbatim_matches_is_normalized():
+    """UAX#15 quick check: fast rows are verbatim NFC/NFKC (oracle:
+    unicodedata.is_normalized), and precomposed DE/RU text IS fast —
+    the property the inert check misses."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.normalize import rows_nfc_verbatim, rows_nfc_verbatim_host
+    from stringwars_tpu.ops.casefold import _decode_rows  # noqa: F401 (import check)
+
+    rows = [
+        b"plain ascii text",
+        "schon längst übliche Wörter".encode(),  # precomposed umlauts: FAST
+        "Привет мир йо".encode(),  # Cyrillic incl. й: FAST
+        "étude".encode(),  # combining acute: slow (Maybe)
+        "Å test".encode(),  # Angstrom sign: slow (QC=No)
+        "가힣".encode(),  # Hangul syllables: FAST for NFC
+        "ﬁle".encode(),  # fi ligature: fast for NFC, slow for NFKC
+    ]
+    W = max(len(r) for r in rows)
+    buf = np.zeros((len(rows), W), np.uint8)
+    lengths = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        buf[i, : len(r)] = np.frombuffer(r, np.uint8)
+        lengths[i] = len(r)
+    for compat in (False, True):
+        form = "NFKC" if compat else "NFC"
+        got = np.asarray(rows_nfc_verbatim(jnp.asarray(buf), jnp.asarray(lengths), compat))
+        host = rows_nfc_verbatim_host(buf, lengths, compat)
+        np.testing.assert_array_equal(got, host)
+        for i, r in enumerate(rows):
+            text = r.decode()
+            if got[i]:  # fast implies already normalized verbatim
+                assert unicodedata.is_normalized(form, text), (form, text)
+    # The rows the round-2 inert check misrouted must be fast for NFC.
+    nfc = np.asarray(rows_nfc_verbatim(jnp.asarray(buf), jnp.asarray(lengths), False))
+    assert nfc[1] and nfc[2] and nfc[5] and nfc[6]
+    assert not nfc[3] and not nfc[4]
+    nfkc = np.asarray(rows_nfc_verbatim(jnp.asarray(buf), jnp.asarray(lengths), True))
+    assert not nfkc[6]  # ligature rewrites under NFKC
+
+
+def test_nfc_fast_table_oracle_sample():
+    """Dense-table spot check against unicodedata on a stratified sample."""
+    from stringwars_tpu.unicode import tables
+
+    rng = np.random.default_rng(7)
+    sample = np.concatenate([
+        np.arange(0x500),
+        rng.integers(0x500, 0x30000, 400),
+        np.array([0xAC00, 0xD7A3, 0x1161, 0x11A8, 0x2126, 0xFB01, 0x0344]),
+    ])
+    for compat in (False, True):
+        form = "NFKC" if compat else "NFC"
+        fast = tables.nfc_fast_table(compat)
+        for cp in sample:
+            cp = int(cp)
+            if 0xD800 <= cp <= 0xDFFF:
+                continue
+            if fast[cp]:
+                c = chr(cp)
+                assert unicodedata.normalize(form, c) == c, hex(cp)
+                assert unicodedata.combining(c) == 0, hex(cp)

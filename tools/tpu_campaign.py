@@ -563,9 +563,9 @@ def main():
     bench("nw-affine-pallas-64kx256B", mk_gotoh(), acells, unit="GCUPS", elements=acells)
     bench("sw-affine-pallas-64kx256B", mk_gotoh(local=True), acells, unit="GCUPS", elements=acells)
     bench("nw-linear-pallas-64kx256B", mk_gotoh(linear=True), acells, unit="GCUPS", elements=acells)
-    bench("nw-affine-i16-64kx256B", mk_gotoh(pack16=True), acells, unit="GCUPS", elements=acells)
-    bench("sw-affine-i16-64kx256B", mk_gotoh(local=True, pack16=True), acells, unit="GCUPS", elements=acells)
-    bench("nw-linear-i16-64kx256B", mk_gotoh(linear=True, pack16=True), acells, unit="GCUPS", elements=acells)
+    # pack16 rows removed: Mosaic on this toolchain cannot legalize
+    # arith.maxsi on packed (8,128,2)xi16 vectors, so the two-cells-per-
+    # lane DP kernels compile only in interpret mode (kept under tests).
 
     def mk_bpe():
         from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, train_merges
