@@ -272,23 +272,32 @@ def fingerprint_xla(
     counts = []
     for wi, w in enumerate(widths):
         g = grams[w]  # [B, W]
+        # Mask ONCE per width instead of per (dim, position) cell: replace
+        # every invalid position's gram with the position-0 gram (always
+        # valid) — duplicating an existing element never changes a min, so
+        # the per-dim reduction needs no select. This is the dominant-cost
+        # loop's hottest op: the workload is VPU-compute-bound, and the
+        # select was ~1/4 of the per-cell ops.
         valid = pos <= jnp.maximum(lengths - w, 0)  # at least position 0
+        g = jnp.where(valid, g, g[:, :1])
+        n_dup = jnp.sum(~valid, axis=1, dtype=jnp.int32)[:, None]  # [B, 1]
         a_np, b_np = dim_coefficients(ndim)
         a = jnp.asarray(a_np[wi * per_width : (wi + 1) * per_width])
         b = jnp.asarray(b_np[wi * per_width : (wi + 1) * per_width])
         for lo in range(0, per_width, dim_chunk):
             hi = min(lo + dim_chunk, per_width)
             vals = g[:, :, None] * a[None, None, lo:hi] + b[None, None, lo:hi]
-            vals = jnp.where(valid[:, :, None], vals, jnp.uint32(0xFFFFFFFF))
             m = jnp.min(vals, axis=1)  # [B, chunk]
             # Final avalanche: min-of-uniforms concentrates in the low range;
             # a bijective remix restores ~1.0 per-bit entropy without
             # changing MinHash collision probabilities (Jaccard property).
             mins.append(_mix32(m))
             if with_counts:
-                counts.append(
-                    jnp.sum((vals == m[:, None, :]) & valid[:, :, None], axis=1, dtype=jnp.int32)
-                )
+                # Duplicates inflate the count only when the min IS the
+                # position-0 value; subtract the known duplicate count then.
+                v0 = g[:, 0, None] * a[None, lo:hi] + b[None, lo:hi]  # [B, chunk]
+                full = jnp.sum(vals == m[:, None, :], axis=1, dtype=jnp.int32)
+                counts.append(full - jnp.where(m == v0, n_dup, 0))
     min_hashes = jnp.concatenate(mins, axis=1)
     min_counts = jnp.concatenate(counts, axis=1) if with_counts else None
     return min_hashes, min_counts

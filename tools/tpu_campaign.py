@@ -157,7 +157,17 @@ def run_benches():
         except Exception as e:  # noqa: BLE001
             RESULTS[name] = {"error": f"{type(e).__name__}: {e}"}
             log(f"{name}: FAILED {type(e).__name__}: {e}")
+        _checkpoint()
     time.sleep(3)  # let async persistent-cache writes flush
+
+
+def _checkpoint():
+    # Survive tunnel outages: every completed row lands on disk immediately.
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "campaign_live.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    os.replace(tmp, path)
 
 
 def _flat(n, seed=0):
