@@ -96,3 +96,32 @@ def test_xchacha20poly1305_draft_vector():
     assert tag == bytes.fromhex("c0875924c1c7987947deafd8780acf49")
     out = xchacha_aead_decrypt(key, nonce24, ct, tag, aad)
     assert out.tobytes() == pt
+
+
+def test_pallas_keystream_matches_xla_oracle():
+    # The registers-resident Pallas path (1024-block granularity) must be
+    # bit-identical to the XLA broadcast form it replaces on TPU.
+    import jax
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.chacha import (
+        _key_words,
+        _keystream,
+        _xor_keystream_pallas,
+    )
+
+    key = bytes(range(32))
+    nonce = bytes(range(100, 112))
+    n_blocks = 2048
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 1 << 32, n_blocks * 16, dtype=np.uint32)
+    k8 = _key_words(key)
+    n3 = jnp.asarray(np.frombuffer(nonce, "<u4"))
+    ks = np.asarray(_keystream(k8, n3, jnp.uint32(5), n_blocks)).reshape(-1)
+    out = np.asarray(
+        _xor_keystream_pallas(
+            jnp.asarray(data), k8, n3, jnp.uint32(5), n_blocks // 1024,
+            jax.default_backend() == "cpu",
+        )
+    )
+    assert np.array_equal(out, data ^ ks)
