@@ -768,15 +768,21 @@ def main():
 
         return make
 
-    bench("tr29-words-128MB", mk_segment("word_boundaries", 128 << 20), 128 << 20)
-    bench("tr29-graphemes-128MB", mk_segment("grapheme_boundaries", 128 << 20), 128 << 20)
-    bench("tr29-sentences-64MB", mk_segment("sentence_boundaries", 64 << 20), 64 << 20)
-    bench("uax14-lines-64MB", mk_segment("linebreak_opportunities", 64 << 20), 64 << 20)
-    bench("whitespace-split-128MB", mk_segment("whitespace_token_count", 128 << 20), 128 << 20)
+    # 32 MB streams: the segmentation programs compose ~30 blocked scans,
+    # and at 64-128 MB the server-side compile helper's memory planner gets
+    # OOM-killed (SIGKILL) — every 2026-08-18 run of the larger sizes died
+    # in compile while 32 MB rows compile fine. GB/s is size-independent
+    # at these scales (>>VMEM, steady-state HBM streaming).
+    _SEG_N = 32 << 20
+    bench("tr29-words-32MB", mk_segment("word_boundaries", _SEG_N), _SEG_N)
+    bench("tr29-graphemes-32MB", mk_segment("grapheme_boundaries", _SEG_N), _SEG_N)
+    bench("tr29-sentences-32MB", mk_segment("sentence_boundaries", _SEG_N), _SEG_N)
+    bench("uax14-lines-32MB", mk_segment("linebreak_opportunities", _SEG_N), _SEG_N)
+    bench("whitespace-split-32MB", mk_segment("whitespace_token_count", _SEG_N), _SEG_N)
     bench(
-        "tr29-words-multilingual-64MB",
-        mk_segment("word_boundaries", 64 << 20, multilingual=True),
-        64 << 20,
+        "tr29-words-multilingual-32MB",
+        mk_segment("word_boundaries", _SEG_N, multilingual=True),
+        _SEG_N,
     )
 
     def mk_casefold_general():
