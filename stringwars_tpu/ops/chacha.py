@@ -147,10 +147,25 @@ def _xor_keystream_pallas(data_u32, key8, nonce3, counter, n_steps: int, interpr
     return out4.transpose(0, 2, 3, 1).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks",))
-def _xor_keystream_u32(data_u32, key8, nonce3, counter, n_blocks: int):
-    interpret = jax.default_backend() == "cpu"
-    if n_blocks % _CC_BLOCKS_PER_STEP == 0 and data_u32.shape[0] == n_blocks * 16:
+def _pallas_eligible(n_blocks: int, n_words: int) -> bool:
+    """Whole-step-aligned buffers ride the registers-resident Pallas path —
+    but only on a real TPU: in interpret mode (CPU) it is far slower than
+    the fused XLA form, and other backends lack pltpu memory spaces.
+    Decided HOST-SIDE so the jit cache key (static ``use_pallas``) can never
+    go stale if the default backend changes within a process."""
+    return (
+        jax.default_backend() == "tpu"
+        and n_blocks % _CC_BLOCKS_PER_STEP == 0
+        and n_words == n_blocks * 16
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "use_pallas", "interpret"))
+def _xor_keystream_u32(
+    data_u32, key8, nonce3, counter, n_blocks: int,
+    use_pallas: bool = False, interpret: bool = False,
+):
+    if use_pallas:
         return _xor_keystream_pallas(
             data_u32, key8, nonce3, counter, n_blocks // _CC_BLOCKS_PER_STEP, interpret
         )
@@ -176,6 +191,7 @@ def chacha20_xor(key: bytes, nonce: bytes, data, counter: int = 1) -> np.ndarray
         jnp.asarray(np.frombuffer(nonce, "<u4")),
         jnp.uint32(counter),
         n_blocks,
+        use_pallas=_pallas_eligible(n_blocks, data_u32.shape[0]),
     )
     return np.asarray(out).view(np.uint8)[:n]
 

@@ -111,6 +111,24 @@ def decompose(cps: jax.Array, n: int, compat: bool = False) -> tuple[jax.Array, 
     return _canonical_reorder(out), count
 
 
+# Longest combining-mark run the transposition loop will sort before
+# falling back to the argsort formulation. UAX#15 streams in practice have
+# runs of a handful of marks; only adversarial (zalgo-style) input exceeds
+# this, and unbounded passes over the whole stream would make reordering
+# O(n * run_length) on untrusted data.
+_REORDER_MAX_PASSES = 64
+
+
+def _reorder_argsort(out: jax.Array, ccc: jax.Array) -> jax.Array:
+    """Canonical reordering as two stable LSD argsort passes (ccc first,
+    then starter-run id), so no packed key can overflow int32. O(n log n)
+    regardless of run structure — the fallback for adversarial inputs."""
+    run = jnp.cumsum((ccc == 0).astype(jnp.int32))
+    order = jnp.argsort(ccc, stable=True)
+    order = jnp.take(order, jnp.argsort(jnp.take(run, order), stable=True))
+    return jnp.take(out, order)
+
+
 def _canonical_reorder(out: jax.Array) -> jax.Array:
     """Canonical reordering (UAX#15 D109) by odd-even transposition.
 
@@ -123,6 +141,11 @@ def _canonical_reorder(out: jax.Array) -> jax.Array:
     but ran at seconds-per-call on benchmark-scale streams: TPU argsort
     over tens of millions of keys costs ~4 orders more than these passes.
     Equal CCC values never exchange, so stability is preserved.
+
+    The fixpoint is capped at ``_REORDER_MAX_PASSES`` pass-pairs; a stream
+    still unconverged (a combining run longer than ~128 marks — untrusted
+    input only) reorders via the argsort fallback instead, keeping the
+    worst case O(n log n).
     """
     ccc0 = jnp.take(jnp.asarray(_ccc_np()), out)
     m = out.shape[0]
@@ -141,15 +164,23 @@ def _canonical_reorder(out: jax.Array) -> jax.Array:
         return swap(x), swap(c), jnp.any(do)
 
     def body(state):
-        x, c, _ = state
+        x, c, _, i = state
         x, c, m0 = one_pass(x, c, 0)
         x, c, m1 = one_pass(x, c, 1)
-        return x, c, m0 | m1
+        return x, c, m0 | m1, i + 1
 
-    out, _, _ = jax.lax.while_loop(
-        lambda s: s[2], body, (out, ccc0, jnp.bool_(True))
+    sorted_out, sorted_ccc, dirty, _ = jax.lax.while_loop(
+        lambda s: s[2] & (s[3] < _REORDER_MAX_PASSES),
+        body,
+        (out, ccc0, jnp.bool_(True), jnp.int32(0)),
     )
-    return out
+    return jax.lax.cond(
+        dirty,
+        lambda x, c: _reorder_argsort(x, c),
+        lambda x, c: x,
+        sorted_out,
+        sorted_ccc,
+    )
 
 
 def _compose_scan(cps: jax.Array):

@@ -417,7 +417,7 @@ def main():
         nonce3 = jnp.asarray(np.frombuffer(bytes(12), "<u4"))
 
         def body(s, buf, key, nonce):
-            out = _xor_keystream_u32(buf, key, nonce, s, n // 64)
+            out = _xor_keystream_u32(buf, key, nonce, s, n // 64, use_pallas=True)
             return s * jnp.uint32(7) + jnp.uint32(3), out
 
         return body, (key8, nonce3), data_u32
