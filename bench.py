@@ -10,6 +10,20 @@ tunnel's dispatch overhead cancels). The headline JSON is printed for
 the FIRST kernel that succeeds, so one hung kernel can never starve the
 whole run (the round-1 failure mode).
 
+Cold-cache resilience (the round-3 regression: a post-outage cold
+persistent cache made 3 of 4 kernels time out on server-side compiles):
+
+1. a HEALTH GATE probes the device first and refuses-and-logs (rc 0,
+   headline ``{"metric": "none"}``) instead of burning the budget on a
+   dead tunnel;
+2. a WARM PASS (``--compile-only``) compiles every kernel into the
+   persistent cache (``~/.cache/swtpu-xla``) before any timed run — its
+   own timeout only ends the warm-up, never the bench;
+3. every kernel's result is FLUSHED to BENCH_DETAIL.json as it
+   completes, so a later hang cannot lose earlier measurements;
+4. ``bytesum`` runs twice (first and last) and the spread is recorded —
+   the run-to-run variance annotation PERFORMANCE.md numbers carry.
+
 The find headline uses the needle-cycling batch kernel (64 needles per
 dispatch over a 128 MB haystack = 8.6 GB scanned per iteration), which
 matches the reference's cycling hot loop (find/bench.rs:79-143).
@@ -24,30 +38,77 @@ import os
 import subprocess
 import sys
 
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_CAMPAIGN = os.path.join(_ROOT, "tools", "tpu_campaign.py")
+
 KERNELS = [
     # (campaign bench name, result key, reference baseline GB/s, budget s).
     # The headline is the first that succeeds. Baselines: sz::find 11.52,
     # sz::find_byteset 8.34, sz::bytesum 12.62, sz::hash 12.22 (BASELINE.md).
-    # find-cycle64 leads; budgets cover a worst-case cold server-side
-    # compile (~300 s observed) plus measurement. Worst-case chain
-    # 420+180+150+150 = 900 s; over the warm persistent cache each kernel
-    # completes in well under a minute.
-    ("find-cycle64-8B-128MB", "find_8B", 11.52, 420.0),
-    ("byteset-128MB", "byteset_find", 8.34, 180.0),
+    # Budgets assume the warm pass has populated the persistent cache
+    # (every kernel then completes in well under a minute); they still
+    # cover a moderate residual compile.
+    ("find-cycle64-8B-128MB", "find_8B", 11.52, 240.0),
+    ("byteset-128MB", "byteset_find", 8.34, 150.0),
     ("bytesum-256MB", "bytesum", 12.62, 150.0),
     ("swh64-1KB-lines-128MB", "swh64_hash", 12.22, 150.0),
+    # Variance row: bytesum again at the END of the run; the spread vs the
+    # first measurement annotates protocol trustworthiness.
+    ("bytesum-256MB", "bytesum_repeat", 12.62, 120.0),
 ]
+
+_WARM_BUDGET_S = 900.0
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_kernel(name: str, timeout_s: float) -> dict | None:
-    campaign = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_campaign.py")
+def device_healthy() -> bool:
+    """Quick gate: can we reach the chip and run a trivial program within
+    120 s? On failure the bench refuses early instead of burning its
+    whole budget against a dead tunnel."""
+    probe = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jax.device_put(jnp.arange(1024, dtype=jnp.uint32))\n"
+        "print(int(jax.jit(lambda v: (v * jnp.uint32(2654435761)).sum())(x)))\n"
+    )
     try:
         proc = subprocess.run(
-            [sys.executable, campaign, "--only", name, "--max-wait", "60"],
+            [sys.executable, "-c", probe], capture_output=True, timeout=120, text=True
+        )
+    except subprocess.TimeoutExpired:
+        log("health gate: device probe timed out (120 s)")
+        return False
+    if proc.returncode != 0:
+        log(f"health gate: probe rc={proc.returncode}: {proc.stderr.strip()[-200:]}")
+        return False
+    return True
+
+
+def warm_cache(names: list[str]) -> None:
+    """Compile every kernel into the shared persistent cache (no timing).
+    A timeout here only truncates the warm-up — rows that finished are
+    cached, and the measurement phase proceeds regardless."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, _CAMPAIGN, "--compile-only", "--only", ",".join(names),
+             "--max-wait", "60"],
+            capture_output=True,
+            timeout=_WARM_BUDGET_S,
+            text=True,
+        )
+        for line in proc.stderr.splitlines():
+            if "compile" in line:
+                log(f"  warm: {line.strip()[-110:]}")
+    except subprocess.TimeoutExpired:
+        log(f"warm pass: truncated at {_WARM_BUDGET_S:.0f}s (cached rows persist)")
+
+
+def run_kernel(name: str, timeout_s: float) -> dict | None:
+    try:
+        proc = subprocess.run(
+            [sys.executable, _CAMPAIGN, "--only", name, "--max-wait", "60"],
             capture_output=True,
             timeout=timeout_s,
             text=True,
@@ -65,7 +126,25 @@ def run_kernel(name: str, timeout_s: float) -> dict | None:
         return None
 
 
+def _flush_detail(detail: dict) -> None:
+    try:
+        with open(os.path.join(_ROOT, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as error:
+        log(f"BENCH_DETAIL.json not written: {error}")
+
+
 def main() -> None:
+    none_line = {"metric": "none", "value": 0, "unit": "GB/s", "vs_baseline": 0}
+    if not device_healthy():
+        log("device unhealthy; refusing to burn the measurement budget")
+        _flush_detail({"error": "device unhealthy at bench start"})
+        print(json.dumps(none_line), flush=True)
+        return
+    unique = list(dict.fromkeys(name for name, _, _, _ in KERNELS))
+    log(f"warming persistent cache for {len(unique)} kernels...")
+    warm_cache(unique)
+
     headline = None
     detail = {}
     for name, key, baseline, budget in KERNELS:
@@ -85,18 +164,16 @@ def main() -> None:
                     "unit": "GB/s",
                     "vs_baseline": round(out["value"] / baseline, 2),
                 }
-    # All measured rows go to stderr + BENCH_DETAIL.json (the headline
-    # JSON line on stdout stays the single driver-facing metric).
+        # Flush after EVERY kernel: a later hang can't lose this result.
+        _flush_detail(detail)
+    if "bytesum" in detail and "bytesum_repeat" in detail:
+        a, b = detail["bytesum"]["value"], detail["bytesum_repeat"]["value"]
+        detail["bytesum_spread_pct"] = round(200.0 * abs(a - b) / max(a + b, 1e-9), 1)
+        _flush_detail(detail)
+    # All measured rows live in BENCH_DETAIL.json; the headline JSON line
+    # on stdout stays the single driver-facing metric.
     log(f"all kernels: {json.dumps(detail)}")
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError as error:
-        log(f"BENCH_DETAIL.json not written: {error}")
-    print(
-        json.dumps(headline or {"metric": "none", "value": 0, "unit": "GB/s", "vs_baseline": 0}),
-        flush=True,
-    )
+    print(json.dumps(headline or none_line), flush=True)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,19 @@ pair rule becomes dense vector logic between shifted class lanes; the
 irregular parts (ignore-rules, RI parity, emoji ZWJ context, lookahead)
 use cumulative scans (cummax/segmented counts) instead of backtracking.
 Counts are mask sums; offsets are ``nonzero``-free (cumsum + scatter).
+
+Each kernel is split into a FEATURE stage (the prefix scans) and a shared
+elementwise RULES stage. Features have two implementations:
+
+- ``_*_feats_xla``: XLA ``associative_scan`` helpers — the CPU path and
+  the conformance oracle. At benchmark scale these compose ~15 log-depth
+  full-stream shift networks whose programs OOM-killed the server-side
+  TPU compile helper (campaign runs of 2026-08-18, 32-128 MB rows) and
+  cost ~10 HBM passes per scan.
+- ``_*_feats_scan``: ONE fused Pallas pass per direction through
+  ``ops/scanline`` — register-resident log-steps, SMEM carries across a
+  sequential grid, program size independent of stream length. The
+  production TPU path.
 """
 
 from __future__ import annotations
@@ -21,10 +34,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stringwars_tpu.ops.scanline import Op, fused_scan
 from stringwars_tpu.ops.utf8 import utf8_decode
 from stringwars_tpu.unicode import tables
 
 _ASCII_WS = (9, 10, 11, 12, 13, 32)
+
+
+def _use_scanline(scanline: bool | None) -> bool:
+    """Feature-stage dispatch: fused Pallas scan pass on TPU, XLA
+    ``associative_scan`` helpers (the oracle) elsewhere. Resolved at trace
+    time like ``rulemap._use_pallas``; tests pass the flag explicitly."""
+    if scanline is None:
+        return jax.default_backend() == "tpu"
+    return scanline
 
 
 # ---------------------------------------------------------------------------
@@ -189,13 +212,25 @@ def _last_two_values(values: jax.Array, mask: jax.Array, init) -> tuple[jax.Arra
 # Whitespace / newline splitting
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
-def whitespace_token_count(data: jax.Array, n: int, *, max_cp: int | None = None) -> jax.Array:
+_WS_OPS = (
+    Op("last", "ltok", lambda e: (e["tok"], e["lead"])),
+    Op("delay", "ptok", lambda e: e["ltok"]),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_cp", "scanline"))
+def whitespace_token_count(
+    data: jax.Array, n: int, *, max_cp: int | None = None, scanline: bool | None = None
+) -> jax.Array:
     """Count of runs of non-whitespace codepoints (Unicode White_Space)."""
     cp, is_lead, _count = _byte_space(data, n)
     is_ws = _class_of(cp, "whitespace_table", max_cp).astype(bool)
     tok = is_lead & ~is_ws
-    prev_tok = _prev1(tok, is_lead, False)
+    if _use_scanline(scanline):
+        feats = fused_scan({"tok": tok, "lead": is_lead}, _WS_OPS, n)
+        prev_tok = feats["ptok"] > 0
+    else:
+        prev_tok = _prev1(tok, is_lead, False)
     return jnp.sum((tok & ~prev_tok).astype(jnp.int32), dtype=jnp.int32)
 
 
@@ -223,8 +258,88 @@ def _cummax(x: jax.Array) -> jax.Array:
     return _assoc_scan(jnp.maximum, x)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
-def grapheme_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
+def _graph_feats_xla(cls, pict, incb, is_lead, n):
+    G = _G
+    prev = _prev1(cls, is_lead, jnp.int32(0))  # class of previous cp; 0 = Other
+    # GB12/13 RI parity: runs of RI ending at the previous cp, odd length.
+    ri = cls == G["Regional_Indicator"]
+    s = _cumsum_1d(ri.astype(jnp.int32))
+    base = _cummax(jnp.where(~ri & is_lead, s, 0))
+    ri_run = s - base  # consecutive RIs ending at this cp (inclusive)
+    ri_run_prev = _prev1(ri_run, is_lead, jnp.int32(0))
+    # GB11 context: before the ZWJ at i-1, the last non-Extend cp is ExtPict.
+    pe = _last_value(pict, (cls != G["Extend"]) & is_lead, False)
+    pe_before_zwj = _prev1(_prev1(pe, is_lead, False), is_lead, False)  # two cps back
+    ctl = (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"])
+    ctl_prev = _prev1(ctl, is_lead, False)
+    # GB9c (Unicode 15.1 Indic conjuncts) context scans.
+    el = (incb == 1) | (incb == 2)  # Extend | Linker
+    linker_cum = _cumsum_1d((incb == 2).astype(jnp.int32))
+    incb_at_j = _prev1(_last_value(incb, ~el & is_lead, jnp.int32(-1)), is_lead, jnp.int32(-1))
+    cum_at_j = _prev1(_last_value(linker_cum, ~el & is_lead, jnp.int32(0)), is_lead, jnp.int32(0))
+    linker_at_prev = _prev1(linker_cum, is_lead, jnp.int32(0))  # through prev cp
+    return {
+        "prev": prev,
+        "ri_run_prev": ri_run_prev,
+        "pe_before_zwj": pe_before_zwj,
+        "ctl_prev": ctl_prev,
+        "incb_at_j": incb_at_j,
+        "cum_at_j": cum_at_j,
+        "linker_at_prev": linker_at_prev,
+        "lead_ord": _cumsum_1d(is_lead.astype(jnp.int32)),
+    }
+
+
+_GRAPH_OPS = (
+    Op("last", "lcls", lambda e: (e["cls"], e["lead"])),
+    Op("delay", "prev", lambda e: e["lcls"]),
+    Op("sum", "s", lambda e: e["ri"]),
+    Op("max", "base", lambda e: jnp.where((e["ri"] == 0) & (e["lead"] > 0), e["s"], 0)),
+    Op("last", "lrr", lambda e: (e["s"] - e["base"], e["lead"])),
+    Op("delay", "ri_run_prev", lambda e: e["lrr"]),
+    Op("last", "pe", lambda e: (e["pict"], e["nonext"])),
+    Op("last", "lpe", lambda e: (e["pe"], e["lead"])),
+    Op("delay", "pe1", lambda e: e["lpe"]),
+    Op("last", "lpe1", lambda e: (e["pe1"], e["lead"])),
+    Op("delay", "pe_before_zwj", lambda e: e["lpe1"]),
+    Op("last", "lctl", lambda e: (e["ctl"], e["lead"])),
+    Op("delay", "ctl_prev", lambda e: e["lctl"]),
+    Op("sum", "linker_cum", lambda e: e["lnk"]),
+    Op("last", "lincb", lambda e: (e["incb"], e["nel"]), init=-1),
+    Op("last", "l2incb", lambda e: (e["lincb"], e["lead"]), init=-1),
+    Op("delay", "incb_at_j", lambda e: e["l2incb"], init=-1),
+    Op("last", "lcum", lambda e: (e["linker_cum"], e["nel"])),
+    Op("last", "l2cum", lambda e: (e["lcum"], e["lead"])),
+    Op("delay", "cum_at_j", lambda e: e["l2cum"]),
+    Op("last", "llc", lambda e: (e["linker_cum"], e["lead"])),
+    Op("delay", "linker_at_prev", lambda e: e["llc"]),
+    Op("sum", "lead_ord", lambda e: e["lead"]),
+)
+
+
+def _graph_feats_scan(cls, pict, incb, is_lead, n):
+    G = _G
+    return fused_scan(
+        {
+            "cls": cls,
+            "lead": is_lead,
+            "pict": pict,
+            "incb": incb,
+            "ri": cls == G["Regional_Indicator"],
+            "nonext": (cls != G["Extend"]) & is_lead,
+            "ctl": (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"]),
+            "lnk": incb == 2,
+            "nel": ~((incb == 1) | (incb == 2)) & is_lead,
+        },
+        _GRAPH_OPS,
+        n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_cp", "scanline"))
+def grapheme_boundaries(
+    data: jax.Array, n: int, *, max_cp: int | None = None, scanline: bool | None = None
+) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], cluster_count) over ``data[:n]`` (UTF-8).
 
     ``boundary[i]`` is True when a grapheme cluster starts at BYTE offset
@@ -233,22 +348,20 @@ def grapheme_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
     cp, is_lead, count = _byte_space(data, n)
     cls = jnp.where(is_lead, _class_of(cp, "grapheme_break_table", max_cp), _CONT)
     pict = _class_of(cp, "extended_pictographic_table", max_cp).astype(bool) & is_lead
-    prev = _prev1(cls, is_lead, jnp.int32(0))  # class of previous cp; 0 = Other
+    incb = jnp.where(is_lead, _class_of(cp, "incb_table", max_cp), _CONT)
     G = _G
 
-    # GB12/13 RI parity: runs of RI ending at the previous cp, odd length.
+    feats = (
+        _graph_feats_scan(cls, pict, incb, is_lead, n)
+        if _use_scanline(scanline)
+        else _graph_feats_xla(cls, pict, incb, is_lead, n)
+    )
+    prev = feats["prev"]
     ri = cls == G["Regional_Indicator"]
-    s = _cumsum_1d(ri.astype(jnp.int32))
-    base = _cummax(jnp.where(~ri & is_lead, s, 0))
-    ri_run = s - base  # consecutive RIs ending at this cp (inclusive)
-    ri_run_prev = _prev1(ri_run, is_lead, jnp.int32(0))
-
-    # GB11 context: before the ZWJ at i-1, the last non-Extend cp is ExtPict.
-    pe = _last_value(pict, (cls != G["Extend"]) & is_lead, False)
-    pe_before_zwj = _prev1(_prev1(pe, is_lead, False), is_lead, False)  # two cps back
-
+    ri_run_prev = feats["ri_run_prev"]
+    pe_before_zwj = feats["pe_before_zwj"] > 0
     ctl = (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"])
-    ctl_prev = _prev1(ctl, is_lead, False)
+    ctl_prev = feats["ctl_prev"] > 0
 
     no_break = jnp.zeros((n,), bool)
     # GB3: CR x LF
@@ -269,20 +382,18 @@ def grapheme_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
     ri_pair = (prev == G["Regional_Indicator"]) & ri & ((ri_run_prev % 2) == 1)
 
     # GB9c (Unicode 15.1 Indic conjuncts): Consonant [Extend|Linker]*
-    # Linker [Extend|Linker]* x Consonant.
-    incb = jnp.where(is_lead, _class_of(cp, "incb_table", max_cp), _CONT)
-    el = (incb == 1) | (incb == 2)  # Extend | Linker
-    linker_cum = _cumsum_1d((incb == 2).astype(jnp.int32))
-    # Class / linker-cumsum AT the last non-(Extend|Linker) cp before this one.
-    incb_at_j = _prev1(_last_value(incb, ~el & is_lead, jnp.int32(-1)), is_lead, jnp.int32(-1))
-    cum_at_j = _prev1(_last_value(linker_cum, ~el & is_lead, jnp.int32(0)), is_lead, jnp.int32(0))
-    linker_at_prev = _prev1(linker_cum, is_lead, jnp.int32(0))  # through prev cp
-    conjunct = (incb == 3) & (incb_at_j == 3) & ((linker_at_prev - cum_at_j) >= 1)
+    # Linker [Extend|Linker]* x Consonant. Class / linker-cumsum features
+    # are taken AT the last non-(Extend|Linker) cp before this one.
+    conjunct = (
+        (incb == 3)
+        & (feats["incb_at_j"] == 3)
+        & ((feats["linker_at_prev"] - feats["cum_at_j"]) >= 1)
+    )
 
     no_break |= (~gb45) & (hangul | attach | prepend | zwj_pict | ri_pair | conjunct)
 
     boundary = ~no_break & is_lead
-    boundary |= _first_lead(is_lead)
+    boundary |= is_lead & (feats["lead_ord"] == 1)
     return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
 
 
@@ -312,8 +423,74 @@ def grapheme_clusters(text: str) -> list[str]:
 _W = {name: i for i, name in enumerate(tables.WB_VALUES)}
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
-def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
+def _word_feats_xla(cls, keep, is_lead, newline, ri, basemask, n):
+    last_cls, prev2_cls = _last_two_values(cls, keep, jnp.int32(-1))
+    prev_eff = jnp.pad(last_cls, (1, 0), constant_values=-1)[:n]  # < this cp
+    prev2_eff = jnp.pad(prev2_cls, (1, 0), constant_values=-1)[:n]
+    # Effective next class (skip ignorables forward, strictly after this cp).
+    next_cls = _next_value(cls, keep, jnp.int32(-1))
+    next_eff = jnp.pad(next_cls, (0, 1), constant_values=-1)[1 : n + 1]
+    prev_raw = _prev1(cls, is_lead, jnp.int32(0))
+    prev_is_nl = _prev1(newline, is_lead, False)
+    # RI parity over non-ignored RIs.
+    s = _cumsum_1d(ri.astype(jnp.int32))
+    base = _cummax(jnp.where(basemask, s, 0))
+    ri_run = s - base
+    ri_run_prev_eff = jnp.pad(_last_value(ri_run, keep, 0), (1, 0))[:n]
+    return {
+        "prev_eff": prev_eff,
+        "prev2_eff": prev2_eff,
+        "next_eff": next_eff,
+        "prev_raw": prev_raw,
+        "prev_is_nl": prev_is_nl,
+        "ri_run_prev_eff": ri_run_prev_eff,
+        "lead_ord": _cumsum_1d(is_lead.astype(jnp.int32)),
+    }
+
+
+_WORD_OPS_FWD = (
+    Op("last2", "lc", lambda e: (e["cls"], e["keep"]), init=-1),
+    Op("delay", "prev_eff", lambda e: e["lc"], init=-1),
+    Op("delay", "prev2_eff", lambda e: e["lc2"], init=-1),
+    Op("last", "lraw", lambda e: (e["cls"], e["lead"])),
+    Op("delay", "prev_raw", lambda e: e["lraw"]),
+    Op("last", "lnl", lambda e: (e["nl"], e["lead"])),
+    Op("delay", "prev_is_nl", lambda e: e["lnl"]),
+    Op("sum", "s", lambda e: e["ri"]),
+    Op("max", "base", lambda e: jnp.where(e["basemask"] > 0, e["s"], 0)),
+    Op("last", "lrr", lambda e: (e["s"] - e["base"], e["keep"])),
+    Op("delay", "ri_run_prev_eff", lambda e: e["lrr"]),
+    Op("sum", "lead_ord", lambda e: e["lead"]),
+)
+
+_WORD_OPS_BWD = (
+    Op("last", "nc", lambda e: (e["cls"], e["keep"]), init=-1),
+    Op("delay", "next_eff", lambda e: e["nc"], init=-1),
+)
+
+
+def _word_feats_scan(cls, keep, is_lead, newline, ri, basemask, n):
+    feats = fused_scan(
+        {
+            "cls": cls,
+            "keep": keep,
+            "lead": is_lead,
+            "nl": newline,
+            "ri": ri,
+            "basemask": basemask,
+        },
+        _WORD_OPS_FWD,
+        n,
+    )
+    bwd = fused_scan({"cls": cls, "keep": keep}, _WORD_OPS_BWD, n, reverse=True)
+    feats["next_eff"] = bwd["next_eff"]
+    return feats
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_cp", "scanline"))
+def word_boundaries(
+    data: jax.Array, n: int, *, max_cp: int | None = None, scanline: bool | None = None
+) -> tuple[jax.Array, jax.Array]:
     """(boundary bool[n], word_segment_count) per TR29 word rules.
 
     ``boundary[i]`` True = a word boundary exists before codepoint slot i.
@@ -327,22 +504,18 @@ def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tu
 
     ignore = (cls == W["Extend"]) | (cls == W["Format"]) | (cls == W["ZWJ"])
     newline = (cls == W["CR"]) | (cls == W["LF"]) | (cls == W["Newline"])
-
-    # Effective previous two classes (skip ignorables backwards): the
-    # ≤2-suffix scan replaces the chained positional gathers. Last-value
-    # outputs are flat between leads, so a one-byte pad shifts "<= this cp"
-    # to "strictly before this cp".
     keep = ~ignore & is_lead
-    last_cls, prev2_cls = _last_two_values(cls, keep, jnp.int32(-1))
-    prev_eff = jnp.pad(last_cls, (1, 0), constant_values=-1)[:n]  # < this cp
-    prev2_eff = jnp.pad(prev2_cls, (1, 0), constant_values=-1)[:n]
+    ri = (cls == W["Regional_Indicator"]) & ~ignore
+    basemask = ~ri & ~ignore & is_lead
 
-    # Effective next class (skip ignorables forward, strictly after this cp).
-    next_cls = _next_value(cls, keep, jnp.int32(-1))
-    next_eff = jnp.pad(next_cls, (0, 1), constant_values=-1)[1 : n + 1]
-
-    prev_raw = _prev1(cls, is_lead, jnp.int32(0))
-    prev_is_nl = _prev1(newline, is_lead, False)
+    feats_fn = _word_feats_scan if _use_scanline(scanline) else _word_feats_xla
+    feats = feats_fn(cls, keep, is_lead, newline, ri, basemask, n)
+    prev_eff = feats["prev_eff"]
+    prev2_eff = feats["prev2_eff"]
+    next_eff = feats["next_eff"]
+    prev_raw = feats["prev_raw"]
+    prev_is_nl = feats["prev_is_nl"] > 0
+    ri_run_prev_eff = feats["ri_run_prev_eff"]
 
     def isin(c, names):
         out = jnp.zeros(c.shape, bool)
@@ -352,13 +525,6 @@ def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tu
 
     AH = ("ALetter", "Hebrew_Letter")
     MidNumLetQ = ("MidNumLet", "Single_Quote")
-
-    # RI parity over non-ignored RIs.
-    ri = (cls == W["Regional_Indicator"]) & ~ignore
-    s = _cumsum_1d(ri.astype(jnp.int32))
-    base = _cummax(jnp.where(~ri & ~ignore & is_lead, s, 0))
-    ri_run = s - base
-    ri_run_prev_eff = jnp.pad(_last_value(ri_run, keep, 0), (1, 0))[:n]
 
     no_break = jnp.zeros((n,), bool)
     # WB3: CR x LF
@@ -374,7 +540,7 @@ def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tu
     # (unless after sot / newline, handled via wb3ab). X may itself be an
     # ignorable (e.g. Extend at sot absorbs a following Extend — official
     # WordBreakTest `÷ 0300 × 0300 ÷`).
-    not_first_cp = _cumsum_1d(is_lead.astype(jnp.int32)) > 1
+    not_first_cp = feats["lead_ord"] > 1
     no_break |= ignore & not_first_cp & ~prev_is_nl
     # Rules on effective classes (current must be non-ignored).
     cur = jnp.where(ignore, jnp.int32(-2), cls)  # ignorables already decided
@@ -398,7 +564,7 @@ def word_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tu
     no_break |= nb & ~wb3ab
 
     boundary = ~no_break & is_lead
-    boundary |= _first_lead(is_lead)
+    boundary |= is_lead & (feats["lead_ord"] == 1)
     return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
 
 
@@ -414,31 +580,26 @@ def word_segments(text: str) -> list[str]:
 _S = {name: i for i, name in enumerate(tables.SB_VALUES)}
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
-def sentence_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
-    """(boundary bool[n], sentence_count) per TR29 sentence rules."""
-    cp, is_lead, count = _byte_space(data, n)
-    cls = jnp.where(is_lead, _class_of(cp, "sentence_break_table", max_cp), _CONT)
+def _sent_eff_env(e):
+    """Effective class (SB5 attachment) derived from scan-env entries."""
+    return jnp.where(
+        (e["ign"] > 0) & (e["pk"] > 0) & (e["hk"] > 0),
+        jnp.int32(_S["Other"]),
+        e["effraw"],
+    )
+
+
+def _sent_feats_xla(cls, keep, is_lead, ign, parasep, n):
     S = _S
-
-    ign = (cls == S["Extend"]) | (cls == S["Format"])
-    parasep = (cls == S["Sep"]) | (cls == S["CR"]) | (cls == S["LF"])
-
-    # Effective class: ignorables attach to the previous non-ignorable
-    # (SB5), except nothing attaches across ParaSep.
-    keep = ~ign & is_lead
     eff = _last_value(cls, keep, jnp.int32(S["Other"]))
     parasep_at_keep = _last_value(parasep, keep, False)
     has_keep = _last_value(jnp.ones_like(cls), keep, 0) > 0
     eff = jnp.where(ign & parasep_at_keep & has_keep, jnp.int32(S["Other"]), eff)
-
     prev_raw = _prev1(cls, is_lead, jnp.int32(S["Other"]))
     prev_eff = _prev1(eff, is_lead, jnp.int32(S["Other"]))
-
     # prev2 effective (significant char before the previous one).
     _last_c, prev2_c = _last_two_values(cls, keep, jnp.int32(S["Other"]))
     prev2_eff = jnp.pad(prev2_c, (1, 0), constant_values=S["Other"])[:n]
-
     # Backward context at prev: skip Sp*, then Close*, then test SATerm.
     # Composition of two last-valid-value scans: f[i] = eff at the last
     # non-Close cp <= i; g[i] = f at the last non-Sp cp <= i.
@@ -446,10 +607,97 @@ def sentence_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
     f_ctx = _last_value(eff, (eff != S["Close"]) & is_lead, other)
     g_ctx = _last_value(f_ctx, (eff != S["Sp"]) & is_lead, other)
     ctx_cls = jnp.pad(g_ctx, (1, 0), constant_values=S["Other"])[:n]  # at prev
+    ctx9_cls = jnp.pad(f_ctx, (1, 0), constant_values=S["Other"])[:n]  # SB9: Close* only
+    prev_parasep = _prev1(parasep, is_lead, False)
+    return {
+        "eff": eff,
+        "ctx_cls": ctx_cls,
+        "ctx9_cls": ctx9_cls,
+        "prev_raw": prev_raw,
+        "prev_eff": prev_eff,
+        "prev2_eff": prev2_eff,
+        "prev_parasep": prev_parasep,
+        "lead_ord": _cumsum_1d(is_lead.astype(jnp.int32)),
+    }
+
+
+_SENT_OPS_FWD = None  # built lazily: needs _S at module-import completion
+
+
+def _sent_ops_fwd():
+    global _SENT_OPS_FWD
+    if _SENT_OPS_FWD is None:
+        S = _S
+        other = S["Other"]
+        _SENT_OPS_FWD = (
+            Op("last", "effraw", lambda e: (e["cls"], e["keep"]), init=other),
+            Op("last", "pk", lambda e: (e["ps"], e["keep"])),
+            Op("max", "hk", lambda e: e["keep"]),
+            Op("last", "fctx", lambda e: (
+                _sent_eff_env(e), (_sent_eff_env(e) != S["Close"]) & (e["lead"] > 0)
+            ), init=other),
+            Op("last", "gctx", lambda e: (
+                e["fctx"], (_sent_eff_env(e) != S["Sp"]) & (e["lead"] > 0)
+            ), init=other),
+            Op("delay", "ctx_cls", lambda e: e["gctx"], init=other),
+            Op("delay", "ctx9_cls", lambda e: e["fctx"], init=other),
+            Op("last", "lraw", lambda e: (e["cls"], e["lead"]), init=other),
+            Op("delay", "prev_raw", lambda e: e["lraw"], init=other),
+            Op("last", "leff", lambda e: (_sent_eff_env(e), e["lead"]), init=other),
+            Op("delay", "prev_eff", lambda e: e["leff"], init=other),
+            Op("last2", "l2", lambda e: (e["cls"], e["keep"]), init=other),
+            Op("delay", "prev2_eff", lambda e: e["l22"], init=other),
+            Op("last", "lps", lambda e: (e["ps"], e["lead"])),
+            Op("delay", "prev_parasep", lambda e: e["lps"]),
+            Op("sum", "lead_ord", lambda e: e["lead"]),
+        )
+    return _SENT_OPS_FWD
+
+
+def _sent_feats_scan(cls, keep, is_lead, ign, parasep, n):
+    feats = fused_scan(
+        {"cls": cls, "keep": keep, "lead": is_lead, "ign": ign, "ps": parasep},
+        _sent_ops_fwd(),
+        n,
+    )
+    feats["eff"] = jnp.where(
+        ign & (feats["pk"] > 0) & (feats["hk"] > 0),
+        jnp.int32(_S["Other"]),
+        feats["effraw"],
+    )
+    return feats
+
+
+_SENT_OPS_BWD = (
+    Op("last", "next_stop_cls", lambda e: (e["eff"], e["stop"]), init=_S["Other"]),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_cp", "scanline"))
+def sentence_boundaries(
+    data: jax.Array, n: int, *, max_cp: int | None = None, scanline: bool | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """(boundary bool[n], sentence_count) per TR29 sentence rules."""
+    cp, is_lead, count = _byte_space(data, n)
+    cls = jnp.where(is_lead, _class_of(cp, "sentence_break_table", max_cp), _CONT)
+    S = _S
+
+    ign = (cls == S["Extend"]) | (cls == S["Format"])
+    parasep = (cls == S["Sep"]) | (cls == S["CR"]) | (cls == S["LF"])
+    keep = ~ign & is_lead
+
+    use_scan = _use_scanline(scanline)
+    feats_fn = _sent_feats_scan if use_scan else _sent_feats_xla
+    feats = feats_fn(cls, keep, is_lead, ign, parasep, n)
+    eff = feats["eff"]
+    prev_raw = feats["prev_raw"]
+    prev_eff = feats["prev_eff"]
+    prev2_eff = feats["prev2_eff"]
+    ctx_cls = feats["ctx_cls"]
+    ctx9_cls = feats["ctx9_cls"]
+    prev_parasep = feats["prev_parasep"] > 0
     saterm_ctx = (ctx_cls == S["ATerm"]) | (ctx_cls == S["STerm"])
     aterm_ctx = ctx_cls == S["ATerm"]
-    # SB9 variant: Close* only (no Sp skipped).
-    ctx9_cls = jnp.pad(f_ctx, (1, 0), constant_values=S["Other"])[:n]
     saterm_ctx9 = (ctx9_cls == S["ATerm"]) | (ctx9_cls == S["STerm"])
 
     # Forward scan for SB8: first "stopper" at/after cur is Lower?
@@ -457,7 +705,16 @@ def sentence_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
         (eff == S["OLetter"]) | (eff == S["Upper"]) | (eff == S["Lower"])
         | parasep | (eff == S["ATerm"]) | (eff == S["STerm"])
     )
-    next_stop_cls = _next_value(eff, stopper & is_lead, jnp.int32(S["Other"]))
+    if use_scan:
+        bwd = fused_scan(
+            {"eff": eff, "stop": stopper & is_lead},
+            _SENT_OPS_BWD,
+            n,
+            reverse=True,
+        )
+        next_stop_cls = bwd["next_stop_cls"]
+    else:
+        next_stop_cls = _next_value(eff, stopper & is_lead, jnp.int32(S["Other"]))
 
     cur = eff
     # Build from lowest to highest precedence (later writes win).
@@ -488,7 +745,6 @@ def sentence_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
     # SB6: ATerm x Numeric.
     boundary = jnp.where((prev_eff == S["ATerm"]) & (cur == S["Numeric"]), False, boundary)
     # SB5: x (Extend | Format) — unless after ParaSep.
-    prev_parasep = _prev1(parasep, is_lead, False)
     boundary = jnp.where(ign & ~prev_parasep, False, boundary)
     # SB4: ParaSep ÷.
     boundary = jnp.where(prev_parasep, True, boundary)
@@ -496,7 +752,7 @@ def sentence_boundaries(data: jax.Array, n: int, *, max_cp: int | None = None) -
     boundary = jnp.where((prev_raw == S["CR"]) & (cls == S["LF"]), False, boundary)
 
     boundary &= is_lead
-    boundary |= _first_lead(is_lead)
+    boundary |= is_lead & (feats["lead_ord"] == 1)
     return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
 
 
@@ -541,8 +797,107 @@ def _lb_class_of(cps: jax.Array, max_cp: int | None = None) -> jax.Array:
     return step_map(cps, rules, table)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_cp"))
-def linebreak_opportunities(data: jax.Array, n: int, *, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
+def _lb_feats_xla(cls, cm, hard, base_mask, is_lead, n):
+    L = _lb_classes()
+    base_cls = _last_value(cls, base_mask, jnp.int32(L["AL"]))
+    has_base = _last_value(jnp.ones_like(cls), base_mask, 0) > 0
+    hard_at_base = _last_value(hard, base_mask, False)
+    attached = cm & has_base & ~hard_at_base
+    eff = jnp.where(cm, jnp.where(attached, base_cls, L["AL"]), cls)  # LB10: lone CM -> AL
+    prev_raw = _prev1(cls, is_lead, jnp.int32(L["BK"]))
+    prev = _prev1(eff, is_lead, jnp.int32(L["BK"]))
+    # SP*-skipping context (LB8/14/16/17): class before the space run.
+    before_sp = jnp.pad(
+        _last_value(eff, (eff != L["SP"]) & is_lead, jnp.int32(L["BK"])),
+        (1, 0),
+        constant_values=L["BK"],
+    )[:n]
+    prev2 = _prev1(prev, is_lead, jnp.int32(L["BK"]))
+    # RI parity (LB30a).
+    ri = eff == L["RI"]
+    s = _cumsum_1d(ri.astype(jnp.int32))
+    base = _cummax(jnp.where(~ri & is_lead, s, 0))
+    ri_run_prev = _prev1(s - base, is_lead, jnp.int32(0))
+    nxt = _next1(eff, is_lead, jnp.int32(L["BK"]))
+    return {
+        "attached": attached,
+        "eff": eff,
+        "prev_raw": prev_raw,
+        "prev": prev,
+        "before_sp": before_sp,
+        "prev2": prev2,
+        "ri_run_prev": ri_run_prev,
+        "nxt": nxt,
+        "lead_ord": _cumsum_1d(is_lead.astype(jnp.int32)),
+    }
+
+
+_LB_OPS_FWD = None
+_LB_OPS_BWD = None
+
+
+def _lb_eff_env(e, L):
+    attached = (e["cm"] > 0) & (e["has_base"] > 0) & (e["hard_at_base"] == 0)
+    return jnp.where(
+        e["cm"] > 0,
+        jnp.where(attached, e["base_cls"], jnp.int32(L["AL"])),
+        e["cls"],
+    )
+
+
+def _lb_ops():
+    global _LB_OPS_FWD, _LB_OPS_BWD
+    if _LB_OPS_FWD is None:
+        L = _lb_classes()
+        bk, al = L["BK"], L["AL"]
+        sp, ri_c = L["SP"], L["RI"]
+        eff = functools.partial(_lb_eff_env, L=L)
+        _LB_OPS_FWD = (
+            Op("last", "base_cls", lambda e: (e["cls"], e["basemask"]), init=al),
+            Op("max", "has_base", lambda e: e["basemask"]),
+            Op("last", "hard_at_base", lambda e: (e["hard"], e["basemask"])),
+            Op("last", "lraw", lambda e: (e["cls"], e["lead"]), init=bk),
+            Op("delay", "prev_raw", lambda e: e["lraw"], init=bk),
+            Op("last", "leff", lambda e: (eff(e), e["lead"]), init=bk),
+            Op("delay", "prev", lambda e: e["leff"], init=bk),
+            Op("last", "lbsp", lambda e: (eff(e), (eff(e) != sp) & (e["lead"] > 0)), init=bk),
+            Op("delay", "before_sp", lambda e: e["lbsp"], init=bk),
+            Op("last", "lprev2", lambda e: (e["prev"], e["lead"]), init=bk),
+            Op("delay", "prev2", lambda e: e["lprev2"], init=bk),
+            Op("sum", "s", lambda e: (eff(e) == ri_c)),
+            Op("max", "sbase", lambda e: jnp.where((eff(e) != ri_c) & (e["lead"] > 0), e["s"], 0)),
+            Op("last", "lrr", lambda e: (e["s"] - e["sbase"], e["lead"])),
+            Op("delay", "ri_run_prev", lambda e: e["lrr"]),
+            Op("sum", "lead_ord", lambda e: e["lead"]),
+        )
+        _LB_OPS_BWD = (
+            Op("last", "nv", lambda e: (e["eff"], e["lead"]), init=bk),
+            Op("delay", "nxt", lambda e: e["nv"], init=bk),
+        )
+    return _LB_OPS_FWD, _LB_OPS_BWD
+
+
+def _lb_feats_scan(cls, cm, hard, base_mask, is_lead, n):
+    L = _lb_classes()
+    fwd_ops, bwd_ops = _lb_ops()
+    feats = fused_scan(
+        {"cls": cls, "cm": cm, "hard": hard, "basemask": base_mask, "lead": is_lead},
+        fwd_ops,
+        n,
+    )
+    attached = cm & (feats["has_base"] > 0) & (feats["hard_at_base"] == 0)
+    eff = jnp.where(cm, jnp.where(attached, feats["base_cls"], jnp.int32(L["AL"])), cls)
+    feats["attached"] = attached
+    feats["eff"] = eff
+    bwd = fused_scan({"eff": eff, "lead": is_lead}, bwd_ops, n, reverse=True)
+    feats["nxt"] = bwd["nxt"]
+    return feats
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_cp", "scanline"))
+def linebreak_opportunities(
+    data: jax.Array, n: int, *, max_cp: int | None = None, scanline: bool | None = None
+) -> tuple[jax.Array, jax.Array]:
     """(break_allowed bool[n], opportunity_count) per UAX#14 core rules.
 
     ``break_allowed[i]`` = a line may break before codepoint slot i
@@ -569,21 +924,17 @@ def linebreak_opportunities(data: jax.Array, n: int, *, max_cp: int | None = Non
         | (cls == L["SP"]) | (cls == L["ZW"])
     )
     base_mask = ~cm & is_lead
-    base_cls = _last_value(cls, base_mask, jnp.int32(L["AL"]))
-    has_base = _last_value(jnp.ones_like(cls), base_mask, 0) > 0
-    hard_at_base = _last_value(hard, base_mask, False)
-    attached = cm & has_base & ~hard_at_base
-    eff = jnp.where(cm, jnp.where(attached, base_cls, L["AL"]), cls)  # LB10: lone CM -> AL
 
-    prev_raw = _prev1(cls, is_lead, jnp.int32(L["BK"]))
-    prev = _prev1(eff, is_lead, jnp.int32(L["BK"]))
-
-    # SP*-skipping context (LB8/14/16/17): class before the space run.
-    before_sp = jnp.pad(
-        _last_value(eff, (eff != L["SP"]) & is_lead, jnp.int32(L["BK"])),
-        (1, 0),
-        constant_values=L["BK"],
-    )[:n]
+    feats_fn = _lb_feats_scan if _use_scanline(scanline) else _lb_feats_xla
+    feats = feats_fn(cls, cm, hard, base_mask, is_lead, n)
+    attached = feats["attached"]
+    eff = feats["eff"]
+    prev_raw = feats["prev_raw"]
+    prev = feats["prev"]
+    before_sp = feats["before_sp"]
+    prev2 = feats["prev2"]
+    ri_run_prev = feats["ri_run_prev"]
+    ri = eff == L["RI"]
 
     def isin(c, names):
         out = jnp.zeros(c.shape, bool)
@@ -594,12 +945,6 @@ def linebreak_opportunities(data: jax.Array, n: int, *, max_cp: int | None = Non
     mandatory_prev = isin(prev_raw, ("BK", "CR", "LF", "NL")) & ~(
         (prev_raw == L["CR"]) & (cls == L["LF"])
     )
-
-    # RI parity (LB30a).
-    ri = eff == L["RI"]
-    s = _cumsum_1d(ri.astype(jnp.int32))
-    base = _cummax(jnp.where(~ri & is_lead, s, 0))
-    ri_run_prev = _prev1(s - base, is_lead, jnp.int32(0))
 
     no_break = jnp.zeros((n,), bool)
     # LB6: x (BK|CR|LF|NL); LB5 CRxLF folded in via mandatory_prev.
@@ -651,9 +996,8 @@ def linebreak_opportunities(data: jax.Array, n: int, *, max_cp: int | None = Non
     no_break |= isin(prev, ("CL", "CP")) & isin(eff, ("PO", "PR"))
     # LB25 lookahead piece of the full regex: (PR|PO) x (OP|HY) NU — the
     # opener/hyphen glues to a following digit ("$ (100)", "US$-10").
-    nxt = _next1(eff, is_lead, jnp.int32(L["BK"]))
     no_break |= (
-        isin(prev, ("PR", "PO")) & isin(eff, ("OP", "HY")) & (nxt == L["NU"])
+        isin(prev, ("PR", "PO")) & isin(eff, ("OP", "HY")) & (feats["nxt"] == L["NU"])
     )
     # LB26/27: Korean syllable blocks.
     no_break |= (prev == L["JL"]) & isin(eff, ("JL", "JV", "H2", "H3"))
@@ -682,7 +1026,7 @@ def linebreak_opportunities(data: jax.Array, n: int, *, max_cp: int | None = Non
     # LB8: ZW SP* -> break.
     breaks |= (before_sp == L["ZW"]) | (prev == L["ZW"])
     breaks &= is_lead
-    breaks &= ~_first_lead(is_lead)  # LB2: no break at sot
+    breaks &= ~(is_lead & (feats["lead_ord"] == 1))  # LB2: no break at sot
     return breaks, jnp.sum(breaks.astype(jnp.int32), dtype=jnp.int32)
 
 
