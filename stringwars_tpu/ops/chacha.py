@@ -241,6 +241,32 @@ def _poly_chunk_partials(blocks: jax.Array, rpowers: jax.Array, n_chunks: int):
     return jnp.sum(prod, axis=1, dtype=jnp.uint32)  # [C, 20] < 2^14 * 2^12
 
 
+def limbs_from_u32(blocks_u32: jax.Array, full: jax.Array) -> jax.Array:
+    """Device twin of ``_blocks_to_limbs`` for whole-block messages.
+
+    ``blocks_u32``: [n_blocks, 4] little-endian ciphertext words;
+    ``full``: bool/int [n_blocks] — 1 adds the 0x01 bit at position 128
+    (all-16-byte blocks; the padded-tail variant stays host-side).
+    Returns [n_blocks, 10] 13-bit limbs. Enables the chained-loop AEAD
+    rows: the Poly1305 block conversion runs on device so the whole
+    keystream→MAC pipeline sits inside one fori_loop body.
+    """
+    w = blocks_u32.astype(jnp.uint32)
+    limbs = []
+    for j in range(_LIMBS):
+        start = 13 * j
+        k, off = divmod(start, 32)
+        if k < 4:
+            bits = w[:, k] >> jnp.uint32(off)
+            if off + 13 > 32:
+                nxt = w[:, k + 1] if k + 1 < 4 else full.astype(jnp.uint32)
+                bits = bits | (nxt << jnp.uint32(32 - off))
+        else:
+            bits = full.astype(jnp.uint32)
+        limbs.append(bits & jnp.uint32(_LIMB_MASK))
+    return jnp.stack(limbs, axis=1)
+
+
 def _blocks_to_limbs(msg: np.ndarray) -> tuple[np.ndarray, int]:
     """Vectorized 16-byte-block -> 10x13-bit-limb conversion (+0x01 pad bit)."""
     n = msg.shape[0]

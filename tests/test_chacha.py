@@ -125,3 +125,18 @@ def test_pallas_keystream_matches_xla_oracle():
         )
     )
     assert np.array_equal(out, data ^ ks)
+
+
+def test_limbs_from_u32_matches_host():
+    """Device whole-block limb conversion == the host _blocks_to_limbs
+    (the chained AEAD corpus rows MAC through this path)."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.chacha import _blocks_to_limbs, limbs_from_u32
+
+    rng = np.random.default_rng(11)
+    msg = rng.integers(0, 256, 16 * 37, dtype=np.uint8)  # whole blocks only
+    want, n_blocks = _blocks_to_limbs(msg)
+    blocks = jnp.asarray(msg.view("<u4").reshape(n_blocks, 4))
+    got = np.asarray(limbs_from_u32(blocks, jnp.ones((n_blocks,), jnp.uint32)))
+    assert np.array_equal(got, want)
