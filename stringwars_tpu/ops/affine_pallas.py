@@ -46,30 +46,20 @@ SUB = 8
 LANES = 128
 TILE = SUB * LANES
 
-# 16-bit packing: two sublanes per 32-bit vreg row -> 2048 pairs/tile at
-# half the vector ops per pair. Scores must fit the headroom check in
-# ``_affine`` (sentinel -16384, worst-case decay ~5/diag stays > INT16_MIN).
-SUB16 = 16
+# A two-cells-per-vreg-lane int16 packing (16 sublanes, 2048 pairs/tile)
+# was prototyped and DELETED: an empirical op probe on the v5e Mosaic
+# toolchain shows int16 vectors legalize ONLY add/sub — no maxsi, no
+# cmpi, no shifts, no muls — and a DP wavefront without max cannot be
+# expressed. Revisit only if a future libtpu adds 16-bit VPU lowering.
 _NEG = -(1 << 20)
-_NEG16 = -(1 << 14)
 
 
 def _neg_for(dtype):
-    return jnp.array(_NEG16 if dtype == jnp.int16 else _NEG, dtype)
+    return jnp.array(_NEG, dtype)
 
 
 def _subst_for(a_chars, bc, match: int, mismatch: int, dtype):
-    """Per-cell substitution score. The i32 path is a compare+select; for
-    packed i16 Mosaic on v5e rejects vector cmpi (``Target does not
-    support this comparison``), so the match test becomes arithmetic:
-    chars are small integers, so ``max(0, 1 - |a - b|)`` is exactly the
-    equality indicator — max/neg/add only, all supported on i16 lanes."""
-    if dtype == jnp.int16:
-        diff = a_chars - bc
-        ind = jnp.maximum(
-            jnp.array(1, dtype) - jnp.maximum(diff, -diff), jnp.array(0, dtype)
-        )
-        return jnp.array(mismatch, dtype) + jnp.array(match - mismatch, dtype) * ind
+    """Per-cell substitution score: compare + select."""
     return jnp.where(a_chars == bc, jnp.array(match, dtype), jnp.array(mismatch, dtype))
 
 
@@ -84,8 +74,7 @@ def _make_kernel(A: int, L: int, match: int, mismatch: int, go: int, ge: int, lo
 
     def kernel(a_ref, rb_hbm, alen_ref, blen_ref, out_ref, *scratch):
         # Scratch: [m, x, y, (fin unless slab_out), rb, sem] — the fin
-        # plane is not allocated at all on the slab-out path (VMEM headroom
-        # for the packed-int16 Gotoh shape).
+        # plane is not allocated at all on the slab-out path (VMEM headroom).
         if slab_out:
             m_ref, x_ref, y_ref, rb_ref, sem = scratch
             fin_ref = None
@@ -267,17 +256,6 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
     n_bt = a_chars.shape[0]
     dtype = a_chars.dtype
     sub = a_chars.shape[2]
-    if dtype == jnp.int16:
-        # Headroom proof for the 16-bit lane packing: real scores are
-        # bounded by (A+L)·max|cost| from 0, sentinel cells start at
-        # -16384 and decay at most max|cost| per diagonal — both must
-        # stay inside int16.
-        worst = (A + L + 2) * max(abs(match), abs(mismatch), abs(go), abs(ge))
-        if _NEG16 - worst < -(1 << 15) + 1 or worst >= (1 << 14):
-            raise ValueError(
-                f"scores for A={A}, L={L}, costs ({match},{mismatch},{go},{ge}) "
-                "overflow the packed-int16 kernel; stage with pack16=False"
-            )
     meta_spec = pl.BlockSpec((1, sub, LANES), lambda bt: (bt, 0, 0))
     if go == ge:
         kernel = _make_kernel_linear(A, L, match, mismatch, go, local, dtype, sub, uniform_full)
@@ -309,16 +287,11 @@ def _affine(a_chars, rb_pad, alen, blen, A: int, L: int, match: int, mismatch: i
 
 
 class AffineBatch:
-    """Pairs staged for the Gotoh kernel (host-side tiling + reversal).
+    """Pairs staged for the Gotoh kernel (host-side tiling + reversal)."""
 
-    ``pack16=True`` stages chars and DP state as int16 on 16-sublane
-    tiles (2048 pairs each): two cells share a 32-bit vreg lane, halving
-    the vector ops per pair. Safe whenever scores fit the headroom check
-    in ``_affine`` (it raises otherwise)."""
-
-    def __init__(self, a: np.ndarray, b: np.ndarray, a_len: np.ndarray, b_len: np.ndarray, *, pack16: bool = False):
-        dt = np.int16 if pack16 else np.int32
-        sub = SUB16 if pack16 else SUB
+    def __init__(self, a: np.ndarray, b: np.ndarray, a_len: np.ndarray, b_len: np.ndarray):
+        dt = np.int32
+        sub = SUB
         tile_pairs = sub * LANES
         a = np.asarray(a, dt)
         b = np.asarray(b, dt)
@@ -410,7 +383,7 @@ def affine_scores(
     return flat
 
 
-def affine_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes], *, pack16: bool = False) -> AffineBatch:
+def affine_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes]) -> AffineBatch:
     """Byte-level staging from token lists."""
     B = len(a_tokens)
     A = max((len(t) for t in a_tokens), default=1)
@@ -423,4 +396,4 @@ def affine_from_tokens(a_tokens: list[bytes], b_tokens: list[bytes], *, pack16: 
         a[i, : len(x)] = np.frombuffer(x, np.uint8)
         b[i, : len(y)] = np.frombuffer(y, np.uint8)
         a_len[i], b_len[i] = len(x), len(y)
-    return AffineBatch(a, b, a_len, b_len, pack16=pack16)
+    return AffineBatch(a, b, a_len, b_len)

@@ -147,7 +147,7 @@ def _gotoh_routine(scope: DeviceScope, cells, total_bytes, gotoh) -> DeviceRouti
     from stringwars_tpu.ops.affine_pallas import _affine, affine_from_tokens
 
     ta, tb, mt, mm, go, ge, local = gotoh
-    # pack16 (2 cells per vreg lane) stays off: Mosaic on the current
+    # pack16 (2 cells per vreg lane) was deleted: Mosaic on the current
     # toolchain cannot legalize arith.maxsi on packed (8,128,2)xi16
     # vectors, so the int16 kernels compile only in interpret mode.
     ab = affine_from_tokens(ta, tb)

@@ -11,12 +11,11 @@ def _rand_tokens(rng, n, lo, hi):
     return [bytes(rng.integers(65, 69, rng.integers(lo, hi), dtype=np.uint8)) for _ in range(n)]
 
 
-@pytest.mark.parametrize("pack16", [False, True])
 @pytest.mark.parametrize("local", [False, True])
-def test_affine_matches_oracle(rng, local, pack16):
+def test_affine_matches_oracle(rng, local):
     a_toks = _rand_tokens(rng, 33, 1, 40)
     b_toks = _rand_tokens(rng, 33, 1, 40)
-    batch = affine_from_tokens(a_toks, b_toks, pack16=pack16)
+    batch = affine_from_tokens(a_toks, b_toks)
     got = affine_scores(batch, local=local, interpret=True)
     ref = S.sw_ref if local else S.nw_ref
     for i, (x, y) in enumerate(zip(a_toks, b_toks)):
@@ -47,12 +46,11 @@ def test_affine_empty_and_edge():
     assert got[2] == 0
 
 
-@pytest.mark.parametrize("pack16", [False, True])
 @pytest.mark.parametrize("local", [False, True])
-def test_linear_matches_oracle(rng, local, pack16):
+def test_linear_matches_oracle(rng, local):
     a_toks = _rand_tokens(rng, 33, 1, 40)
     b_toks = _rand_tokens(rng, 33, 1, 40)
-    batch = affine_from_tokens(a_toks, b_toks, pack16=pack16)
+    batch = affine_from_tokens(a_toks, b_toks)
     got = affine_scores(batch, gap_open=-2, gap_extend=-2, local=local, interpret=True)
     ref = S.sw_ref if local else S.nw_ref
     for i, (x, y) in enumerate(zip(a_toks, b_toks)):
@@ -74,21 +72,15 @@ def test_linear_matches_xla_scan(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_pack16_overflow_guard():
-    batch = affine_from_tokens([b"ab" * 400], [b"ab" * 400], pack16=True)
-    with pytest.raises(ValueError, match="pack16"):
-        affine_scores(batch, match=30, mismatch=-30, gap_open=-30, gap_extend=-30, interpret=True)
 
-
-@pytest.mark.parametrize("pack16", [False, True])
 @pytest.mark.parametrize("linear", [False, True])
 @pytest.mark.parametrize("local", [False, True])
-def test_uniform_full_slab_extraction(rng, local, linear, pack16):
+def test_uniform_full_slab_extraction(rng, local, linear):
     """Uniform-length batches take the seed-peel + final-slab extraction
     path (no per-step fin writes); scores stay oracle-exact."""
     a_toks = [bytes(rng.integers(65, 69, 17, dtype=np.uint8)) for _ in range(19)]
     b_toks = [bytes(rng.integers(65, 69, 23, dtype=np.uint8)) for _ in range(19)]
-    batch = affine_from_tokens(a_toks, b_toks, pack16=pack16)
+    batch = affine_from_tokens(a_toks, b_toks)
     assert batch.uniform_full
     go, ge = (-2, -2) if linear else (-5, -1)
     got = affine_scores(batch, gap_open=go, gap_extend=ge, local=local, interpret=True)

@@ -547,7 +547,7 @@ def main():
     mcells = 65536 * 256 * 256
     bench("lev-myers-64kx256B", mk_myers(), mcells, unit="GCUPS", elements=mcells)
 
-    def mk_gotoh(Bp=65536, L=256, local=False, linear=False, pack16=False):
+    def mk_gotoh(Bp=65536, L=256, local=False, linear=False):
         def make():
             from stringwars_tpu.ops.affine_pallas import AffineBatch, _affine
 
@@ -555,7 +555,7 @@ def main():
             a = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
             b = rng.integers(65, 69, (Bp, L), dtype=np.uint8).astype(np.int32)
             lens = np.full(Bp, L, np.int32)
-            batch = AffineBatch(a, b, lens, lens, pack16=pack16)
+            batch = AffineBatch(a, b, lens, lens)
             go, ge = (-2, -2) if linear else (-5, -1)
 
             def body(s, e, ac, rb, alen, blen):
@@ -573,9 +573,10 @@ def main():
     bench("nw-affine-pallas-64kx256B", mk_gotoh(), acells, unit="GCUPS", elements=acells)
     bench("sw-affine-pallas-64kx256B", mk_gotoh(local=True), acells, unit="GCUPS", elements=acells)
     bench("nw-linear-pallas-64kx256B", mk_gotoh(linear=True), acells, unit="GCUPS", elements=acells)
-    # pack16 rows removed: Mosaic on this toolchain cannot legalize
-    # arith.maxsi on packed (8,128,2)xi16 vectors, so the two-cells-per-
-    # lane DP kernels compile only in interpret mode (kept under tests).
+    # pack16 (two-cells-per-lane i16 DP) was deleted outright: an op
+    # probe shows this v5e toolchain legalizes ONLY add/sub on int16
+    # vectors (no maxsi/cmpi/shift/mul), so a 16-bit DP max is
+    # inexpressible. See ops/affine_pallas.py.
 
     def mk_bpe():
         from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, train_merges
