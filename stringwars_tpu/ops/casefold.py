@@ -36,10 +36,14 @@ def _fold_arrays():
 
 
 @functools.lru_cache(maxsize=None)
-def _fold_rules():
+def _fold_rules(max_cp: int | None = None):
     """Gather-free rule sets: (simple-fold range rules, expansion-length
     sparse map, packed-e1e2 sparse map, e3 sparse map). Expansion chars are
-    packed two-per-rule-value (e1 | e2 << 16; every pool char fits 16 bits)."""
+    packed two-per-rule-value (e1 | e2 << 16; every pool char fits 16 bits).
+
+    ``max_cp`` (static, from staging) prunes to the corpus' observed
+    codepoint ceiling — the fold rules are the dominant per-element cost
+    (345 rules full-Unicode ≈ 1.7 k VPU ops/cp; ≤0x4FF keeps 110)."""
     from stringwars_tpu.ops import rulemap
 
     inline, multi, pool = _fold_arrays()
@@ -59,7 +63,10 @@ def _fold_rules():
         e3_keys if e3_keys.size else np.asarray([0x10FFFF]),
         e3[e3 > 0] if e3_keys.size else np.asarray([0]),
     )
-    return simple, mlen_rules, e12_rules, e3_rules
+    rules = (simple, mlen_rules, e12_rules, e3_rules)
+    if max_cp is not None:
+        rules = tuple(r.prune(max_cp) for r in rules)
+    return rules
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -221,8 +228,8 @@ def _decode_rows(data: jax.Array, lengths: jax.Array):
     return cp, is_lead
 
 
-@jax.jit
-def fold_tokens(tokens) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("max_cp",))
+def fold_tokens(tokens, max_cp: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Row-wise full case fold of a PaddedTokens batch — gather-free.
 
     Returns (folded int32[B, 3W], folded_count int32[B]); each row is the
@@ -246,7 +253,7 @@ def fold_tokens(tokens) -> tuple[jax.Array, jax.Array]:
     B, W = data.shape
     cp, is_lead = _decode_rows(data, tokens.lengths)
 
-    simple, mlen_rules, e12_rules, e3_rules = _fold_rules()
+    simple, mlen_rules, e12_rules, e3_rules = _fold_rules(max_cp)
     folded = rulemap.range_map(cp, simple)
     mlen = rulemap.range_map(cp, mlen_rules)
     e12 = rulemap.range_map(cp, e12_rules)
@@ -269,7 +276,17 @@ def fold_tokens(tokens) -> tuple[jax.Array, jax.Array]:
         axis=1,
     )
     vals = jnp.concatenate([v0, v1, v2], axis=1)
-    _, out = jax.lax.sort([keys, vals], dimension=1, num_keys=1)
+    if max_cp is not None and max_cp <= 0xFFFF:
+        # BMP corpora: case folds of BMP codepoints stay in the BMP (the
+        # expansion pool is 16-bit by assertion; simple folds never cross
+        # into astral planes), so (dst << 16 | val) packs into one
+        # positive int32 and the compaction is a SINGLE-operand sort —
+        # half the bitonic data movement of the [keys, vals] pair sort.
+        # Live dsts are unique, so packing cannot reorder equal keys.
+        packed = jax.lax.sort((keys << 16) | vals, dimension=1)
+        out = packed & jnp.int32(0xFFFF)
+    else:
+        _, out = jax.lax.sort([keys, vals], dimension=1, num_keys=1)
     counts = jnp.sum(length, axis=1, dtype=jnp.int32)
     # Zero the tail (sorted BIG-key slots carry stale channel values).
     live = jnp.arange(out_w, dtype=jnp.int32)[None, :] < counts[:, None]

@@ -91,3 +91,36 @@ def test_fold_tokens_ascii_matches_general():
     pt2 = PaddedTokens.from_tape(Tape.from_tokens(["Straße".encode()]))
     out2, counts2, is_ascii2 = fold_tokens_auto(pt2)
     assert not is_ascii2 and int(np.asarray(counts2)[0]) == len("Straße".casefold())
+
+
+def test_fold_tokens_max_cp_packed_sort():
+    """BMP-pruned fold (single-operand packed-sort compaction) == the
+    unpruned pair-sort path == str.casefold, on mixed-script rows with
+    1->N expansions (a ruleset-pruning + packing regression pin)."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.casefold import fold_tokens
+    from stringwars_tpu.tape import PaddedTokens
+
+    rows = [
+        "Straße GROSS Weiß",           # German: ss expansions
+        "ΕΛΛΗΝΙΚΆ ἈΘΉΝΑ ΊΣ",          # Greek incl. breathing marks
+        "РУССКИЙ Текст ЁЖ",            # Cyrillic
+        "Mixed ASCII And İstanbul",    # dotted capital I (expansion)
+    ]
+    raw = [r.encode() for r in rows]
+    W = max(len(b) for b in raw)
+    data = np.zeros((len(raw), W), np.uint8)
+    lengths = np.zeros(len(raw), np.int32)
+    for i, b in enumerate(raw):
+        data[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lengths[i] = len(b)
+    pt = PaddedTokens(data=jnp.asarray(data), lengths=jnp.asarray(lengths), width=W)
+    max_cp = max(ord(c) for r in rows for c in r)
+    got, counts = fold_tokens(pt, max_cp=max_cp)
+    want, wcounts = fold_tokens(pt)
+    assert np.array_equal(np.asarray(counts), np.asarray(wcounts))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    for i, r in enumerate(rows):
+        folded = "".join(chr(c) for c in np.asarray(got)[i, : int(counts[i])])
+        assert folded == r.casefold(), f"row {i}: {folded!r} != {r.casefold()!r}"

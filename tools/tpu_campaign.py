@@ -720,9 +720,11 @@ def main():
 
     # --- round-3 rows: Unicode tier (gather-free), sorting, AC, DNA DP ---
 
-    def _multilingual_bytes(n_bytes, seed=5):
+    def _multilingual_bytes(n_bytes, seed=5, spans=None):
         rng = np.random.default_rng(seed)
-        spans = [(0x410, 0x44F), (0x391, 0x3C9), (0x41, 0x7A), (0xC0, 0xFF)]
+        if spans is None:
+            spans = [(0x410, 0x44F), (0x391, 0x3C9), (0x41, 0x7A), (0xC0, 0xFF)]
+        spans = list(spans)
         parts = []
         total = 0
         while total < n_bytes + 64:
@@ -769,45 +771,70 @@ def main():
 
         return make
 
-    # 32 MB streams: the segmentation programs compose ~30 blocked scans,
-    # and at 64-128 MB the server-side compile helper's memory planner gets
-    # OOM-killed (SIGKILL) — every 2026-08-18 run of the larger sizes died
-    # in compile while 32 MB rows compile fine. GB/s is size-independent
-    # at these scales (>>VMEM, steady-state HBM streaming).
+    # Segmentation feature scans run through the fused Pallas scanline
+    # engine (ops/scanline.py) — program size is independent of stream
+    # length, so these compile in seconds where the old XLA
+    # associative_scan formulation SIGKILL'd the compile helper at every
+    # benchmark size (32-128 MB, runs of 2026-08-18). 32 MB rows match
+    # the round-3 registry; the 128 MB row proves scale-independence.
     _SEG_N = 32 << 20
     bench("tr29-words-32MB", mk_segment("word_boundaries", _SEG_N), _SEG_N)
     bench("tr29-graphemes-32MB", mk_segment("grapheme_boundaries", _SEG_N), _SEG_N)
     bench("tr29-sentences-32MB", mk_segment("sentence_boundaries", _SEG_N), _SEG_N)
     bench("uax14-lines-32MB", mk_segment("linebreak_opportunities", _SEG_N), _SEG_N)
     bench("whitespace-split-32MB", mk_segment("whitespace_token_count", _SEG_N), _SEG_N)
+    bench("newline-split-32MB", mk_segment("newline_split_count", _SEG_N), _SEG_N)
     bench(
         "tr29-words-multilingual-32MB",
         mk_segment("word_boundaries", _SEG_N, multilingual=True),
         _SEG_N,
     )
+    bench("tr29-words-128MB", mk_segment("word_boundaries", 128 << 20), 128 << 20)
 
-    def mk_casefold_general():
-        from stringwars_tpu.suites.normalization import stream_rows
-        from stringwars_tpu.ops.casefold import fold_tokens
-        from stringwars_tpu.tape import PaddedTokens
+    def mk_casefold_general(spans=None, max_cp=0x4FF, nbytes=32 << 20):
+        def make():
+            from stringwars_tpu.suites.normalization import stream_rows
+            from stringwars_tpu.ops.casefold import fold_tokens
+            from stringwars_tpu.tape import PaddedTokens
 
-        data = _multilingual_bytes(32 << 20)
-        toks = stream_rows(data)
-        n = int(data.shape[0])
+            data = _multilingual_bytes(nbytes, spans=spans)
+            toks = stream_rows(data)
 
-        def body(s, e, d, ln):
-            shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
-            rolled = PaddedTokens(
-                data=jnp.roll(d, shift, axis=0),
-                lengths=jnp.roll(ln, shift),
-                width=toks.width,
-            )
-            out, counts = fold_tokens(rolled)
-            return _fold(s, counts, out[:, :8]), e
+            def body(s, e, d, ln):
+                shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
+                rolled = PaddedTokens(
+                    data=jnp.roll(d, shift, axis=0),
+                    lengths=jnp.roll(ln, shift),
+                    width=toks.width,
+                )
+                # Staging-time rule pruning + BMP packed-sort compaction:
+                # the corpus generator bounds every codepoint by max_cp.
+                out, counts = fold_tokens(rolled, max_cp=max_cp)
+                return _fold(s, counts, out[:, :8]), e
 
-        return body, (toks.data, toks.lengths), ()
+            return body, (toks.data, toks.lengths), ()
 
-    bench("casefold-general-multilingual-32MB", mk_casefold_general, 32 << 20)
+        return make
+
+    bench("casefold-general-multilingual-32MB", mk_casefold_general(), 32 << 20)
+    # Per-language rows matching the reference's fold table
+    # (normalization/README.md:45-49: DE 2.59 / RU 2.20 / EL 1.00 GB/s on
+    # Zen5); tighter corpora prune the fold rules further.
+    bench(
+        "casefold-german-32MB",
+        mk_casefold_general(spans=((0x41, 0x7A), (0xC0, 0xFF)), max_cp=0xFF),
+        32 << 20,
+    )
+    bench(
+        "casefold-russian-32MB",
+        mk_casefold_general(spans=((0x410, 0x44F), (0x401, 0x451)), max_cp=0x45F),
+        32 << 20,
+    )
+    bench(
+        "casefold-greek-32MB",
+        mk_casefold_general(spans=((0x391, 0x3C9),), max_cp=0x3CF),
+        32 << 20,
+    )
 
     def mk_nfc(form):
         def make():
