@@ -207,3 +207,149 @@ def sorted_tokens(tape: Tape, *, uncased: bool = False) -> list[bytes]:
     order = argsort_uncased(tape) if uncased else argsort_tape(tape)
     tokens = tape.to_list()
     return [tokens[i] for i in order]
+
+
+# ---------------------------------------------------------------------------
+# Distributed argsort (the <Nchip> scope): stable sample sort over the mesh.
+#
+# The reference's multi-core sorting rows are its competitors' parallel
+# sorts (polars/arrow); the TPU-native formulation is a SAMPLE SORT over
+# the 1-D device mesh:
+#
+#   1. every shard strided-samples its leading packed key word; an
+#      all_gather + replicated sort picks D-1 splitters (identical on all
+#      shards — no broadcast needed);
+#   2. rows partition to destination shards purely by leading-key range
+#      (equal keys share a destination, so stability survives), are
+#      grouped by a local stable sort on the destination id, and exchange
+#      through ONE fixed-capacity lax.all_to_all (capacity 2x the mean;
+#      an overflow flag psum falls the caller back to the 1-chip path —
+#      correctness never depends on the sampling);
+#   3. each shard LSD-radix-argsorts what it received (pads carry
+#      max-keys and sink to the tail); received blocks arrive in (source,
+#      source-position) = original order, so the local sort's stability
+#      extends globally.
+#
+# Concatenating the shards' outputs in mesh order IS the global stable
+# argsort. Scaling: sample/splitter work is O(D*S); everything else is
+# the 1-chip sort at B/D rows per shard plus one all_to_all over ICI.
+# ---------------------------------------------------------------------------
+
+_SAMPLES_PER_SHARD = 256
+_CAPACITY_FACTOR = 2
+
+
+def _sharded_sort_body(cols_local, idx_local, n_dev: int, axis: str):
+    """Per-shard sample-sort body (runs under shard_map)."""
+    n_cols, Bl = cols_local.shape
+    cap = max(_CAPACITY_FACTOR * Bl // n_dev, 8)
+    big = jnp.int32(0x7FFFFFFF)
+
+    k0 = cols_local[0].astype(jnp.int32)
+    step = max(Bl // _SAMPLES_PER_SHARD, 1)
+    sample = jax.lax.slice(k0, (0,), (step * min(_SAMPLES_PER_SHARD, Bl),), (step,))
+    gathered = jax.lax.all_gather(sample, axis, tiled=True)
+    ss = jnp.sort(gathered)
+    pick = (jnp.arange(1, n_dev) * ss.shape[0]) // n_dev
+    splitters = ss[pick]  # [D-1], identical on every shard
+
+    dest = jnp.sum(
+        (k0[None, :] >= splitters[:, None]).astype(jnp.int32), axis=0
+    )  # [Bl] in 0..D-1
+    counts = jnp.sum(
+        (dest[None, :] == jnp.arange(n_dev, dtype=jnp.int32)[:, None]).astype(jnp.int32),
+        axis=1,
+    )
+    offs = jnp.cumsum(counts) - counts
+    overflow = jnp.any(counts > cap)
+
+    order = jnp.argsort(dest, stable=True)
+    # A cap-sized tail pad keeps every dynamic_slice start == offs[d]
+    # exact (dynamic_slice CLAMPS starts near the array end, which would
+    # silently re-read rows from the previous segment).
+    csort = jnp.pad(jnp.take(cols_local, order, axis=1), ((0, 0), (0, cap)), constant_values=big)
+    isort = jnp.pad(jnp.take(idx_local, order), (0, cap), constant_values=-1)
+
+    # Fixed-capacity per-destination slots (junk rows past each segment's
+    # count are masked to max-key pads).
+    send_keys = []
+    send_idx = []
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    for d in range(n_dev):
+        start = offs[d]
+        kslab = jnp.stack(
+            [jax.lax.dynamic_slice(csort[c], (start,), (cap,)) for c in range(n_cols)]
+        )
+        islab = jax.lax.dynamic_slice(isort, (start,), (cap,))
+        live = pos < counts[d]
+        send_keys.append(jnp.where(live[None, :], kslab, big))
+        send_idx.append(jnp.where(live, islab, -1))
+    sk = jnp.stack(send_keys)  # [D, n_cols, cap]
+    si = jnp.stack(send_idx)  # [D, cap]
+
+    rk = jax.lax.all_to_all(sk, axis, split_axis=0, concat_axis=0, tiled=False)
+    ri = jax.lax.all_to_all(si, axis, split_axis=0, concat_axis=0, tiled=False)
+    rkeys = rk.transpose(1, 0, 2).reshape(n_cols, n_dev * cap)
+    ridx = ri.reshape(n_dev * cap)
+
+    final = _lsd_argsort(rkeys.astype(jnp.uint32))
+    out_idx = jnp.take(ridx, final)
+    local_n = jnp.sum((ridx >= 0).astype(jnp.int32))
+    return out_idx, local_n.reshape(1), jax.lax.psum(overflow.astype(jnp.int32), axis)
+
+
+def argsort_sharded(tape: Tape, scope, *, prefix_width: int = 96, out=None) -> np.ndarray:
+    """Stable byte-order argsort over a device scope (sample sort).
+
+    ``scope`` is a ``parallel.mesh.DeviceScope``; with one device this
+    degrades to the single-chip path. Falls back to the 1-chip sort if
+    the sampled partition overflows its 2x capacity (adversarially skewed
+    key distributions) — the result is always the exact stable order.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from stringwars_tpu.parallel.mesh import SHARD_AXIS
+
+    n_dev = scope.chips
+    if n_dev <= 1:
+        return argsort_tape(tape, prefix_width=prefix_width, out=out)
+
+    o = np.asarray(tape.offsets).astype(np.int64)
+    full_lengths = o[1:] - o[:-1]
+    tokens = PaddedTokens.from_tape(tape, align=4, max_width=prefix_width)
+    B = tokens.data.shape[0]
+    Bl = -(-B // n_dev)
+    Bp = Bl * n_dev
+    cols = np.asarray(_byte_columns(tokens.data, tokens.lengths))
+    if Bp > B:
+        # Pad rows carry max keys (sort to the global tail) and idx -1.
+        cols = np.pad(cols, ((0, 0), (0, Bp - B)), constant_values=0x7FFFFFFF)
+    idx = np.concatenate([np.arange(B, dtype=np.int32), np.full(Bp - B, -1, np.int32)])
+
+    body = functools.partial(_sharded_sort_body, n_dev=n_dev, axis=SHARD_AXIS)
+    stepped = jax.jit(
+        shard_map(
+            body,
+            mesh=scope.mesh,
+            in_specs=(P(None, SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        )
+    )
+    out_idx, local_n, overflow = stepped(jnp.asarray(cols), jnp.asarray(idx))
+    if int(overflow) > 0:
+        return argsort_tape(tape, prefix_width=prefix_width, out=out)
+    out_np = np.asarray(out_idx).reshape(n_dev, -1)
+    ln = np.asarray(local_n).reshape(-1)
+    order = np.concatenate([out_np[d, : ln[d]] for d in range(n_dev)])
+    # Host tie refinement over maxed-out prefixes, exactly the 1-chip path.
+    if full_lengths.size and int(full_lengths.max()) > prefix_width:
+        mat = np.asarray(tokens.data)
+        sorted_mat = mat[order]
+        maxed = full_lengths[order] >= prefix_width
+        tie = (
+            (sorted_mat[1:] == sorted_mat[:-1]).all(axis=1) & (maxed[1:] | maxed[:-1])
+        )
+        toks = tape.to_list()
+        order = _refine_ties(order, tie, toks.__getitem__)
+    return _write_out(order.astype(np.intp), out)

@@ -78,6 +78,23 @@ def main() -> None:
         device_routine_factory(byte_order_routine),
     )
 
+    # Distributed sample sort over the mesh (ops/sort.argsort_sharded):
+    # splitter partition + all_to_all + per-shard LSD radix. Only appears
+    # when the scope spans >1 device (virtual CPU mesh / real pods).
+    from stringwars_tpu.ops.sort import argsort_sharded
+
+    for scope in ctx.scopes:
+        if scope.chips <= 1:
+            continue
+
+        def sharded_routine(scope=scope) -> WorkUnits:
+            argsort_sharded(ctx.tape, scope, prefix_width=96, out=out_buf)
+            return WorkUnits(elements=comparisons, bytes=total)
+
+        ctx.run(
+            f"argsort/swtpu::argsort{scope.name}", "comparisons", sharded_routine
+        )
+
     token_list = ctx.tape.to_list()
 
     def host_sorted() -> WorkUnits:
