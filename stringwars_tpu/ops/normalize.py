@@ -45,6 +45,60 @@ def _decomp_arrays(compat: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _decomp_rules(compat: bool, max_cp: int | None = None):
+    """Decomposition tables compiled to gather-free rule maps.
+
+    (inline delta rules, expansion-length sparse map, per-position value
+    maps e_0..e_{k-1}, static max expansion k, ccc step rules, max cp any
+    OUTPUT can take). ``max_cp`` prunes to the corpus codepoint ceiling —
+    the per-position maps are near-singleton (every decomposable cp has
+    its own chars), so pruning is what makes the row kernel affordable
+    (NFD full-Unicode ≈ 3k rules; ≤0x4FF ≈ 550)."""
+    from stringwars_tpu.ops import rulemap
+
+    inline, multi, pool = _decomp_arrays(compat)
+    keys = np.flatnonzero(inline < 0)
+    if max_cp is not None:
+        keys = keys[keys <= max_cp]
+    m = multi[keys]
+    lengths = (m & 31).astype(np.int64)
+    off = (m >> 5).astype(np.int64)
+    max_exp = int(lengths.max()) if lengths.size else 1
+    inline_rules = rulemap.compile_fold(inline)
+    mlen_rules = rulemap.compile_sparse_values(
+        keys if keys.size else np.asarray([0x10FFFF]),
+        lengths if keys.size else np.asarray([0]),
+    )
+    pos_maps = []
+    out_max = int(max_cp) if max_cp is not None else tables.MAX_CP - 1
+    for k in range(max_exp):
+        has = lengths > k
+        kk = keys[has]
+        vals = pool[np.minimum(off + k, pool.shape[0] - 1)][has].astype(np.int64)
+        if kk.size:
+            out_max = max(out_max, int(vals.max()))
+        pos_maps.append(
+            rulemap.compile_sparse_values(
+                kk if kk.size else np.asarray([0x10FFFF]),
+                vals if kk.size else np.asarray([0]),
+            )
+        )
+    # Singleton (1:1) decompositions can also raise the output ceiling.
+    cps = np.arange(inline.shape[0], dtype=np.int64)
+    single = (inline >= 0) & (inline != cps)
+    if max_cp is not None:
+        single &= cps <= max_cp
+    if single.any():
+        out_max = max(out_max, int(inline[single].max()))
+    if max_cp is not None:
+        inline_rules = inline_rules.prune(max_cp)
+        mlen_rules = mlen_rules.prune(max_cp)
+        pos_maps = [r.prune(max_cp) for r in pos_maps]
+    ccc_rules = rulemap.compile_steps(_ccc_np()).prune(out_max)
+    return inline_rules, mlen_rules, tuple(pos_maps), max_exp, ccc_rules, out_max
+
+
+@functools.lru_cache(maxsize=None)
 def _ccc_np():
     return tables.ccc_table().astype(np.int32)
 
@@ -127,6 +181,133 @@ def _reorder_argsort(out: jax.Array, ccc: jax.Array) -> jax.Array:
     order = jnp.argsort(ccc, stable=True)
     order = jnp.take(order, jnp.argsort(jnp.take(run, order), stable=True))
     return jnp.take(out, order)
+
+
+@functools.partial(jax.jit, static_argnames=("compat", "max_cp"))
+def decompose_rows(
+    cps: jax.Array, lengths: jax.Array, compat: bool = False, max_cp: int | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """NFD/NFKD of codepoint ROWS: (out int32[R, C*max_exp], counts[R]).
+
+    The benchmark-scale formulation (the flat ``decompose`` kernel's
+    ``.at[dst].set`` scatter and whole-stream reorder measured
+    seconds-per-call): rows stay independent, the 1→N expansion compacts
+    with ONE per-row sort (packed single-operand when every output stays
+    in the BMP), and canonical reordering runs row-locally — callers
+    stage rows cut at starter boundaries (``ccc == 0``), which the
+    UAX#15 reorder never crosses, so row-local == global. All table maps
+    are rule maps (zero gathers), pruned to ``max_cp``.
+    """
+    from stringwars_tpu.ops import rulemap
+
+    inline_rules, mlen_rules, pos_maps, max_exp, ccc_rules, out_max = _decomp_rules(
+        compat, max_cp
+    )
+    R, C = cps.shape
+    cp = cps.astype(jnp.int32)
+    valid = jnp.arange(C, dtype=jnp.int32)[None, :] < lengths[:, None]
+    f = rulemap.range_map(cp, inline_rules)
+    mlen = rulemap.range_map(cp, mlen_rules)
+    evals = [rulemap.range_map(cp, r) for r in pos_maps]
+
+    length = jnp.where(valid, jnp.where(mlen > 0, mlen, 1), 0)
+    starts = jnp.cumsum(length, axis=1) - length
+    out_w = max_exp * C
+    big = jnp.int32(out_w)
+    chans = []
+    keys = []
+    for k in range(max_exp):
+        v = jnp.where(mlen > 0, evals[k], f) if k == 0 else evals[k]
+        chans.append(v)
+        keys.append(jnp.where(length > k, starts + k, big))
+    keyc = jnp.concatenate(keys, axis=1)
+    valc = jnp.concatenate(chans, axis=1)
+    if out_max <= 0xFFFF:
+        packed = jax.lax.sort((keyc << 16) | valc, dimension=1)
+        out = packed & jnp.int32(0xFFFF)
+    else:
+        _, out = jax.lax.sort([keyc, valc], dimension=1, num_keys=1)
+    counts = jnp.sum(length, axis=1, dtype=jnp.int32)
+    live = jnp.arange(out_w, dtype=jnp.int32)[None, :] < counts[:, None]
+    out = jnp.where(live, out, 0)
+    return _canonical_reorder_rows(out, ccc_rules), counts
+
+
+def _canonical_reorder_rows(out: jax.Array, ccc_rules) -> jax.Array:
+    """Row-local UAX#15 D109 reorder by bounded odd-even transposition.
+
+    Same exchange condition as the flat ``_canonical_reorder`` applied
+    along axis 1; rows must not split combining runs (caller staging cuts
+    at starters). The fixpoint is bounded; non-convergence (zalgo rows)
+    falls back to the per-row stable two-pass argsort.
+    """
+    from stringwars_tpu.ops import rulemap
+
+    ccc0 = rulemap.step_map(out, ccc_rules)
+    m = out.shape[1]
+    parity = jnp.arange(m - 1, dtype=jnp.int32)[None, :] & 1
+
+    def one_pass(x, c, p):
+        do = (parity == p) & (c[:, :-1] > c[:, 1:]) & (c[:, 1:] > 0)
+        take_next = jnp.pad(do, ((0, 0), (0, 1)))
+        take_prev = jnp.pad(do, ((0, 0), (1, 0)))
+
+        def swap(a):
+            nxt = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            prv = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+            return jnp.where(take_next, nxt, jnp.where(take_prev, prv, a))
+
+        return swap(x), swap(c), jnp.any(do)
+
+    def body(state):
+        x, c, _, i = state
+        x, c, m0 = one_pass(x, c, 0)
+        x, c, m1 = one_pass(x, c, 1)
+        return x, c, m0 | m1, i + 1
+
+    sorted_out, sorted_ccc, dirty, _ = jax.lax.while_loop(
+        lambda s: s[2] & (s[3] < _REORDER_MAX_PASSES),
+        body,
+        (out, ccc0, jnp.bool_(True), jnp.int32(0)),
+    )
+
+    def argsort_rows(x, c):
+        run = jnp.cumsum((c == 0).astype(jnp.int32), axis=1)
+        order = jnp.argsort(c, axis=1, stable=True)
+        order = jnp.take_along_axis(
+            order, jnp.argsort(jnp.take_along_axis(run, order, 1), axis=1, stable=True), 1
+        )
+        return jnp.take_along_axis(x, order, 1)
+
+    return jax.lax.cond(dirty, argsort_rows, lambda x, c: x, sorted_out, sorted_ccc)
+
+
+def stream_starter_rows(cps_np: np.ndarray, width: int = 512) -> tuple[np.ndarray, np.ndarray]:
+    """Stage a flat codepoint stream as [R, width] rows cut ONLY at
+    starters (ccc == 0), so row-local canonical reordering is exact.
+    Returns (rows int32[R, width], lengths int32[R]). A combining run
+    longer than ``width`` (untrusted zalgo input) raises — callers route
+    such streams through the exact flat kernel instead.
+    """
+    ccc = _ccc_np()
+    n = int(cps_np.shape[0])
+    is_starter = ccc[np.clip(cps_np, 0, ccc.shape[0] - 1)] == 0
+    starts = [0]
+    while starts[-1] + width < n:
+        e = starts[-1] + width
+        while e > starts[-1] and not is_starter[e]:
+            e -= 1
+        if e == starts[-1]:
+            raise ValueError("combining run exceeds the row width")
+        starts.append(e)
+    rows = len(starts)
+    buf = np.zeros((rows, width), np.int32)
+    lengths = np.zeros(rows, np.int32)
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < rows else n
+        lengths[i] = e - s
+        buf[i, : e - s] = cps_np[s:e]
+    return buf, lengths
 
 
 def _canonical_reorder(out: jax.Array) -> jax.Array:

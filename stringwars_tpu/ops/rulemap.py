@@ -256,6 +256,10 @@ def range_map(cps: jax.Array, rules: FoldRules, *, interpret: bool | None = None
     sparse value map when 1) over any-shape codepoints."""
     shape = cps.shape
     cps = cps.astype(jnp.int32)
+    if rules.count == 0:
+        # Fully-pruned rule sets (corpus below every rule) — Mosaic
+        # rejects zero-length SMEM operands, and there is nothing to do.
+        return cps if rules.base == 0 else jnp.zeros_like(cps)
     pallas, interp = _use_pallas(interpret)
     if not pallas:
         out = jnp.zeros_like(cps)

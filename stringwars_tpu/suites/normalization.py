@@ -77,10 +77,13 @@ def main() -> None:
 
     ctx.group("case-fold")
     is_ascii = bool(data_np.size == 0 or int(data_np.max(initial=0)) < 0x80)
+    # Corpus codepoint ceiling (staging-time): prunes the fold rule maps
+    # and enables the BMP packed-sort compaction.
+    corpus_max_cp = max(map(ord, host_text), default=0x7F)
 
     def fold_body(s, e, d, ln):
         rolled = PaddedTokens(data=_roll(s, d), lengths=_roll(s, ln), width=toks.width)
-        out, counts = CF.fold_tokens(rolled)
+        out, counts = CF.fold_tokens(rolled, max_cp=corpus_max_cp)
         return fold_salt(s, counts, out[:, :8]), e
 
     ctx.run(
@@ -245,13 +248,42 @@ def _normalize_routine(toks, rows_np, lengths_np, form: str, compat: bool, n: in
     slow_cps = np.array(
         [ord(c) for c in bytes(slow_bytes).decode("utf-8", "ignore")], np.int32
     )
+    has_slow = slow_cps.shape[0] > 0
+
+    if form in ("nfd", "nfkd"):
+        # Benchmark-scale decomposition: starter-cut codepoint rows through
+        # the row-wise rule-map kernel (the flat kernel's expansion scatter
+        # + whole-stream reorder measured seconds per call at 32 MB).
+        slow_max = int(slow_cps.max()) if has_slow else 0x7F
+        try:
+            srows, slens = NORM.stream_starter_rows(slow_cps) if has_slow else (
+                np.zeros((1, 512), np.int32), np.zeros(1, np.int32)
+            )
+        except ValueError:  # zalgo-style run: exact flat fallback staging
+            srows = slens = None
+        if srows is not None:
+            rows_dev = jnp.asarray(srows)
+            lens_dev = jnp.asarray(slens)
+
+            def body(s, e, d, ln, sr, sl):
+                quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat)
+                out, counts = NORM.decompose_rows(
+                    _roll(s, sr), _roll(s, sl), compat, max_cp=slow_max
+                )
+                return fold_salt(s, quick, counts, out[:, :8]), e
+
+            return DeviceRoutine(
+                body=body,
+                consts=(toks.data, toks.lengths, rows_dev, lens_dev),
+                units=WorkUnits(1, n),
+            )
+
     bucket = 16
     while bucket < slow_cps.shape[0]:
         bucket *= 2
     padded = np.zeros(bucket, np.int32)
     padded[: slow_cps.shape[0]] = slow_cps
     slow_dev = jnp.asarray(padded)
-    has_slow = slow_cps.shape[0] > 0
 
     def body(s, e, d, ln, slow):
         if form in ("nfc", "nfkc"):

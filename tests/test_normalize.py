@@ -5,6 +5,8 @@ import unicodedata
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from stringwars_tpu.ops.normalize import normalize_text
 
 SAMPLES = [
@@ -169,3 +171,55 @@ def test_nfc_fast_table_oracle_sample():
                 c = chr(cp)
                 assert unicodedata.normalize(form, c) == c, hex(cp)
                 assert unicodedata.combining(c) == 0, hex(cp)
+
+
+@pytest.mark.parametrize("compat", [False, True])
+def test_decompose_rows_matches_unicodedata(compat):
+    """Row-wise benchmark-scale decomposition (rule maps + packed-sort
+    compaction + row-local reorder on starter-cut rows) == unicodedata
+    NFD/NFKD on multilingual text with reordering marks."""
+    import unicodedata
+
+    from stringwars_tpu.ops.normalize import decompose_rows, stream_starter_rows
+
+    rng = np.random.default_rng(7)
+    pool = (
+        ["é", "Å", "ñ", "ё", "й", "ü", "ø", "a", "Z", " ", "α", "ΐ", "ṩ"]
+        + ["q̣̇", "ẍ̧", "가", "각", "한"]  # multiple marks (reorder) + Hangul
+        + (["①", "ﬁ", "㌀", "²"] if compat else [])
+    )
+    text = "".join(pool[int(i)] for i in rng.integers(0, len(pool), 3000))
+    cps = np.array([ord(c) for c in text], np.int32)
+    rows, lengths = stream_starter_rows(cps, width=256)
+    out, counts = decompose_rows(
+        jnp.asarray(rows), jnp.asarray(lengths), compat, max_cp=int(cps.max())
+    )
+    got = "".join(
+        "".join(map(chr, np.asarray(out)[i, : int(counts[i])]))
+        for i in range(rows.shape[0])
+    )
+    want = unicodedata.normalize("NFKD" if compat else "NFD", text)
+    assert got == want
+
+
+def test_decompose_rows_matches_flat_kernel():
+    from stringwars_tpu.ops.normalize import decompose, decompose_rows, stream_starter_rows
+
+    text = ("mañana Å ΐ q̣̇ й ё ṩ x" * 50)
+    cps = np.array([ord(c) for c in text], np.int32)
+    rows, lengths = stream_starter_rows(cps, width=128)
+    out, counts = decompose_rows(jnp.asarray(rows), jnp.asarray(lengths), False, max_cp=int(cps.max()))
+    got = np.concatenate([
+        np.asarray(out)[i, : int(counts[i])] for i in range(rows.shape[0])
+    ])
+    flat, fcount = decompose(jnp.asarray(cps), int(cps.shape[0]), False)
+    want = np.asarray(flat)[: int(fcount)]
+    assert np.array_equal(got, want)
+
+
+def test_stream_starter_rows_zalgo_raises():
+    from stringwars_tpu.ops.normalize import stream_starter_rows
+
+    cps = np.array([ord("a")] + [0x0301] * 300, np.int32)
+    with pytest.raises(ValueError, match="combining run"):
+        stream_starter_rows(cps, width=128)
