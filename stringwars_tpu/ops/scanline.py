@@ -58,7 +58,9 @@ _I32_MIN = -(1 << 31)
 class Op:
     """One fused scan.
 
-    ``kind``: "sum" | "max" | "last" | "last2" | "delay".
+    ``kind``: "sum" | "max" | "last" | "last2" | "delay" | "id"
+    ("id" = elementwise passthrough with no carry — computes a derived
+    tile ONCE for later ops to reference instead of re-inlining it).
     ``build(env)`` returns the op's input tile(s) from ``env`` — a dict of
     input tiles, previously computed op outputs (by name), plus ``valid``
     (bool, position < n) and ``pos`` (int32 global position):
@@ -77,11 +79,13 @@ class Op:
     def outs(self) -> tuple[str, ...]:
         if self.kind == "last2":
             return (self.name, self.name + "2")
+        if self.kind == "id":
+            return ()  # kernel-internal: env-only, never written to HBM
         return (self.name,)
 
     @property
     def n_carry(self) -> int:
-        return {"sum": 1, "max": 1, "last": 2, "last2": 3, "delay": 1}[self.kind]
+        return {"sum": 1, "max": 1, "last": 2, "last2": 3, "delay": 1, "id": 0}[self.kind]
 
 
 def _lane_iota():
@@ -209,6 +213,8 @@ def _make_kernel(ops: tuple[Op, ...], in_names: tuple[str, ...], n: int):
         @pl.when(step == 0)
         def _():
             for op, base in zip(ops, slots):
+                if op.kind == "id":
+                    continue
                 if op.kind == "sum":
                     carry[base] = 0
                 elif op.kind == "max":
@@ -236,6 +242,9 @@ def _make_kernel(ops: tuple[Op, ...], in_names: tuple[str, ...], n: int):
 
         oi = 0
         for op, base in zip(ops, slots):
+            if op.kind == "id":
+                env[op.name] = op.build(env).astype(jnp.int32)
+                continue
             if op.kind == "sum":
                 v = op.build(env).astype(jnp.int32)
                 out = _scan_sum(v, carry[base])

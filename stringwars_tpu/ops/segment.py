@@ -851,21 +851,22 @@ def _lb_ops():
         L = _lb_classes()
         bk, al = L["BK"], L["AL"]
         sp, ri_c = L["SP"], L["RI"]
-        eff = functools.partial(_lb_eff_env, L=L)
         _LB_OPS_FWD = (
             Op("last", "base_cls", lambda e: (e["cls"], e["basemask"]), init=al),
             Op("max", "has_base", lambda e: e["basemask"]),
             Op("last", "hard_at_base", lambda e: (e["hard"], e["basemask"])),
+            # eff computed ONCE per tile; later ops reference the env entry.
+            Op("id", "effv", functools.partial(_lb_eff_env, L=L)),
             Op("last", "lraw", lambda e: (e["cls"], e["lead"]), init=bk),
             Op("delay", "prev_raw", lambda e: e["lraw"], init=bk),
-            Op("last", "leff", lambda e: (eff(e), e["lead"]), init=bk),
+            Op("last", "leff", lambda e: (e["effv"], e["lead"]), init=bk),
             Op("delay", "prev", lambda e: e["leff"], init=bk),
-            Op("last", "lbsp", lambda e: (eff(e), (eff(e) != sp) & (e["lead"] > 0)), init=bk),
+            Op("last", "lbsp", lambda e: (e["effv"], (e["effv"] != sp) & (e["lead"] > 0)), init=bk),
             Op("delay", "before_sp", lambda e: e["lbsp"], init=bk),
             Op("last", "lprev2", lambda e: (e["prev"], e["lead"]), init=bk),
             Op("delay", "prev2", lambda e: e["lprev2"], init=bk),
-            Op("sum", "s", lambda e: (eff(e) == ri_c)),
-            Op("max", "sbase", lambda e: jnp.where((eff(e) != ri_c) & (e["lead"] > 0), e["s"], 0)),
+            Op("sum", "s", lambda e: (e["effv"] == ri_c)),
+            Op("max", "sbase", lambda e: jnp.where((e["effv"] != ri_c) & (e["lead"] > 0), e["s"], 0)),
             Op("last", "lrr", lambda e: (e["s"] - e["sbase"], e["lead"])),
             Op("delay", "ri_run_prev", lambda e: e["lrr"]),
             Op("sum", "lead_ord", lambda e: e["lead"]),

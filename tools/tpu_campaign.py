@@ -155,10 +155,19 @@ def run_benches():
             body, consts, extra0 = make()
             _measure_chained(name, body, consts, extra0, elements if elements else work_bytes)
         except Exception as e:  # noqa: BLE001
-            RESULTS[name] = {"error": f"{type(e).__name__}: {e}"}
+            RESULTS[name] = {"error": _clean_error(f"{type(e).__name__}: {e}")}
             log(f"{name}: FAILED {type(e).__name__}: {e}")
         _checkpoint()
     time.sleep(3)  # let async persistent-cache writes flush
+
+
+def _clean_error(msg: str) -> str:
+    """First line of an error, ANSI-stripped — the committed campaign
+    JSONs are evidence, not raw server log dumps."""
+    import re
+
+    first = msg.splitlines()[0] if msg else msg
+    return re.sub(r"\x1b\[[0-9;]*m", "", first)[:300]
 
 
 def _checkpoint():
