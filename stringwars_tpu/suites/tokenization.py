@@ -167,10 +167,10 @@ def main() -> None:
 
         from stringwars_tpu.ops.bpe import (
             MergeTable,
-            bpe_encode,
             bpe_encode_ref,
             train_merges,
         )
+        from stringwars_tpu.ops.bpe_pallas import bpe_encode_fused as bpe_encode
         from stringwars_tpu.tape import PaddedTokens
 
         # GPT-2's pre-tokenization pattern (public; Radford et al. 2019).

@@ -106,3 +106,46 @@ def test_bpe_rules_encoder_matches_ref():
     ids, counts = np.asarray(ids), np.asarray(counts)
     for i, t in enumerate(words[:64]):
         assert ids[i, : counts[i]].tolist() == bpe_encode_ref(t, merges), t
+
+
+def test_fused_kernel_matches_oracle(rng):
+    """Fused Pallas encoder (interpret) == scalar oracle == XLA encoder
+    on fuzzed short words, incl. overlap runs and merge cascades."""
+    from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, bpe_encode_ref, train_merges
+    from stringwars_tpu.ops.bpe_pallas import bpe_encode_fused
+
+    alphabet = b"abcde"
+    words = [
+        bytes(alphabet[i] for i in rng.integers(0, len(alphabet), rng.integers(1, 17)))
+        for _ in range(700)
+    ] + [b"aaaaaaaaaaa", b"ababababab", b"aabbaabb", b"a", b"abcabcabcabc"]
+    merges = train_merges(words, 40)
+    table = MergeTable.from_merges(merges)
+    toks = _batch(words)
+    got, counts = bpe_encode_fused(toks, table, interpret=True)
+    got_x, counts_x = bpe_encode(toks, table)
+    assert np.array_equal(np.asarray(counts), np.asarray(counts_x))
+    assert np.array_equal(np.asarray(got), np.asarray(got_x))
+    g = np.asarray(got)
+    for i, w in enumerate(words[:200]):
+        want = bpe_encode_ref(w, merges)
+        assert g[i, : int(counts[i])].tolist() == want, f"word {w!r}"
+
+
+def test_fused_kernel_group32(rng):
+    """32-lane group path (pretokens 17..32 bytes) == XLA encoder."""
+    from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, train_merges
+    from stringwars_tpu.ops.bpe_pallas import bpe_encode_fused
+
+    alphabet = b"abc"
+    words = [
+        bytes(alphabet[i] for i in rng.integers(0, 3, rng.integers(10, 33)))
+        for _ in range(300)
+    ]
+    table = MergeTable.from_merges(train_merges(words, 30))
+    toks = _batch(words)
+    assert toks.data.shape[1] > 16
+    got, counts = bpe_encode_fused(toks, table, interpret=True)
+    want, wcounts = bpe_encode(toks, table)
+    assert np.array_equal(np.asarray(counts), np.asarray(wcounts))
+    assert np.array_equal(np.asarray(got), np.asarray(want))

@@ -35,7 +35,7 @@ REFS = {
     "ac-shiftand-": ("Shift-And 4-pattern scan (K2)", 0.51, "GB/s aho-corasick"),
     "ac-shiftand8": ("Shift-And 8-word dictionary (K2)", 0.51, "GB/s aho-corasick"),
     "argsort-2M": ("argsort, 2 M words (K11)", 0.23, "Gcmp/s CPU best"),
-    "argsort-uncased": ("argsort-uncased, 2 M words (K11)", 0.209, "Gcmp/s CPU best"),
+    "argsort-uncased": ("argsort-uncased, 2 M words (K11)", 0.097, "Gcmp/s sz uncased"),
     "lut-planes": ("LUT translate, select-planes (K12)", 10.22, "GB/s sz"),
     "lut-translate": ("LUT translate, gather (diagnostic)", 10.22, "GB/s sz"),
     "fill-random": ("fill_random / Threefry (K12)", 20.4, "GB/s sz best"),
@@ -44,18 +44,25 @@ REFS = {
     "utf8-count": ("utf8 codepoint count (K8)", 18.1, "GB/s find_nth_utf8"),
     "casefold-ascii": ("case fold, ASCII fast path (K10)", 7.53, "GB/s Zen5 EN"),
     "casefold-tokens": ("case fold, token batch (K10)", 7.53, "GB/s Zen5 EN"),
-    "casefold-general": ("case fold, general 1->N multilingual (K10)", 2.6, "GB/s sz DE/RU"),
+    "casefold-general": ("case fold, general 1->N multilingual (K10)", 2.59, "GB/s sz Zen5 DE"),
+    "casefold-german": ("case fold, German-range corpus (K10)", 2.59, "GB/s sz Zen5"),
+    "casefold-russian": ("case fold, Russian corpus (K10)", 2.20, "GB/s sz Zen5"),
+    "casefold-greek": ("case fold, Greek corpus (K10)", 1.00, "GB/s sz Zen5"),
     "uncased-find-8cp": ("case-insensitive find, window form (K10)", 12.79, "GB/s sz"),
     "uncased-find-ascii64": ("case-insensitive find, ASCII panel x64 (K10)", 12.79, "GB/s sz"),
-    "nfc-multilingual": ("NFC normalize, multilingual (K10)", 7.5, "GB/s icu4x best"),
-    "nfd-multilingual": ("NFD normalize, multilingual (K10)", 7.5, "GB/s icu4x best"),
-    "nfkc-multilingual": ("NFKC normalize, multilingual (K10)", 7.5, "GB/s icu4x best"),
-    "nfkd-multilingual": ("NFKD normalize, multilingual (K10)", 7.5, "GB/s icu4x best"),
-    "tr29-words": ("TR29 word segmentation (K9)", 3.06, "GB/s sz"),
-    "tr29-graphemes": ("TR29 grapheme segmentation (K9)", 1.26, "GB/s sz"),
-    "tr29-sentences": ("TR29 sentence segmentation (K9)", 3.04, "GB/s sz"),
-    "uax14-lines": ("UAX#14 line breaks (K9)", 1.57, "GB/s sz"),
-    "whitespace-split": ("whitespace split (K9)", 1.50, "GB/s sz"),
+    "nfc-multilingual": ("NFC normalize, multilingual (K10)", None, "no published ref"),
+    "nfd-multilingual": ("NFD normalize, multilingual (K10)", None, "no published ref"),
+    "nfkc-multilingual": ("NFKC normalize, multilingual (K10)", None, "no published ref"),
+    "nfkd-multilingual": ("NFKD normalize, multilingual (K10)", None, "no published ref"),
+    # Segmentation references are the BASELINE.md SPR rows
+    # (tokenization/README.md:26-138).
+    "tr29-words-multilingual": ("TR29 words, multilingual corpus (K9)", 0.35, "GB/s sz SPR EN"),
+    "tr29-words": ("TR29 word segmentation (K9)", 0.35, "GB/s sz SPR"),
+    "tr29-graphemes": ("TR29 grapheme segmentation (K9)", 0.26, "GB/s sz SPR"),
+    "tr29-sentences": ("TR29 sentence segmentation (K9)", 0.64, "GB/s sz SPR"),
+    "uax14-lines": ("UAX#14 line breaks (K9)", 0.36, "GB/s sz SPR"),
+    "whitespace-split": ("whitespace split (K9)", 0.70, "GB/s sz SPR"),
+    "newline-split": ("newline split (K9)", 3.06, "GB/s sz SPR (18.3 Zen5)"),
     "bpe-1M": ("BPE encode, 1 M short words", None, "no ref row"),
     "vpu-u32-ops-probe": ("u32 VPU lane-op probe", None, "roofline calib"),
 }

@@ -588,7 +588,8 @@ def main():
     # inexpressible. See ops/affine_pallas.py.
 
     def mk_bpe():
-        from stringwars_tpu.ops.bpe import MergeTable, bpe_encode, train_merges
+        from stringwars_tpu.ops.bpe import MergeTable, train_merges
+        from stringwars_tpu.ops.bpe_pallas import bpe_encode_fused as bpe_encode
         from stringwars_tpu.tape import PaddedTokens
 
         B, W = 1 << 20, 16
