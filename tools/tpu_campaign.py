@@ -801,14 +801,17 @@ def main():
     )
     bench("tr29-words-128MB", mk_segment("word_boundaries", 128 << 20), 128 << 20)
 
-    def mk_casefold_general(spans=None, max_cp=0x4FF, nbytes=32 << 20):
+    def mk_casefold_general(spans=None, max_cp=0x4FF, nbytes=32 << 20, width=32):
         def make():
             from stringwars_tpu.suites.normalization import stream_rows
             from stringwars_tpu.ops.casefold import fold_tokens
             from stringwars_tpu.tape import PaddedTokens
 
+            # Narrow rows shrink the bitonic compaction superlinearly
+            # (sort cost ~ width log^2 width): 1024-wide staging measured
+            # 0.50 GB/s on the German row, where the sort dominated.
             data = _multilingual_bytes(nbytes, spans=spans)
-            toks = stream_rows(data)
+            toks = stream_rows(data, width=width)
 
             def body(s, e, d, ln):
                 shift = (s % jnp.uint32(d.shape[0])).astype(jnp.int32)
