@@ -63,10 +63,15 @@ def _fold_rules(max_cp: int | None = None):
         e3_keys if e3_keys.size else np.asarray([0x10FFFF]),
         e3[e3 > 0] if e3_keys.size else np.asarray([0]),
     )
-    rules = (simple, mlen_rules, e12_rules, e3_rules)
     if max_cp is not None:
-        rules = tuple(r.prune(max_cp) for r in rules)
-    return rules
+        simple, mlen_rules, e12_rules, e3_rules = (
+            r.prune(max_cp) for r in (simple, mlen_rules, e12_rules, e3_rules)
+        )
+        in_range = keys <= max_cp
+        max_exp = int(lengths[in_range].max()) if in_range.any() else 1
+    else:
+        max_exp = _MAX_EXPANSION
+    return simple, mlen_rules, e12_rules, e3_rules, max_exp
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -253,29 +258,30 @@ def fold_tokens(tokens, max_cp: int | None = None) -> tuple[jax.Array, jax.Array
     B, W = data.shape
     cp, is_lead = _decode_rows(data, tokens.lengths)
 
-    simple, mlen_rules, e12_rules, e3_rules = _fold_rules(max_cp)
+    simple, mlen_rules, e12_rules, e3_rules, max_exp = _fold_rules(max_cp)
     folded = rulemap.range_map(cp, simple)
     mlen = rulemap.range_map(cp, mlen_rules)
     e12 = rulemap.range_map(cp, e12_rules)
-    e3 = rulemap.range_map(cp, e3_rules)
 
     length = jnp.where(is_lead, jnp.where(mlen > 0, mlen, 1), 0)
     starts = jnp.cumsum(length, axis=1) - length  # exclusive prefix
 
-    out_w = _MAX_EXPANSION * W
+    # max_exp is STATIC from the pruned rules (a <=0xFF corpus folds to
+    # at most 2 codepoints), so the compaction sort width shrinks with
+    # the corpus — the sort is the dominant per-element cost.
+    out_w = max_exp * W
     big = jnp.int32(out_w)
     v0 = jnp.where(mlen > 0, e12 & 0xFFFF, folded)
-    v1 = e12 >> 16
-    v2 = e3
-    keys = jnp.concatenate(
-        [
-            jnp.where(length >= 1, starts, big),
-            jnp.where(length >= 2, starts + 1, big),
-            jnp.where(length >= 3, starts + 2, big),
-        ],
-        axis=1,
-    )
-    vals = jnp.concatenate([v0, v1, v2], axis=1)
+    chans = [v0]
+    key_list = [jnp.where(length >= 1, starts, big)]
+    if max_exp >= 2:
+        chans.append(e12 >> 16)
+        key_list.append(jnp.where(length >= 2, starts + 1, big))
+    if max_exp >= 3:
+        chans.append(rulemap.range_map(cp, e3_rules))
+        key_list.append(jnp.where(length >= 3, starts + 2, big))
+    keys = jnp.concatenate(key_list, axis=1)
+    vals = jnp.concatenate(chans, axis=1)
     if max_cp is not None and max_cp <= 0xFFFF:
         # BMP corpora: case folds of BMP codepoints stay in the BMP (the
         # expansion pool is 16-bit by assertion; simple folds never cross

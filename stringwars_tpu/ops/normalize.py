@@ -440,12 +440,20 @@ def nfc_quick_check(cps: jax.Array, n: int, compat: bool = False) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _inert_steps(compat: bool):
-    """Inert table compiled to gather-free step rules (ops/rulemap)."""
+def _inert_steps(compat: bool, max_cp: int | None = None):
+    """Inert table compiled to gather-free step rules (ops/rulemap).
+
+    ``max_cp`` prunes to the corpus ceiling — the quick check runs over
+    the WHOLE corpus every iteration, and the unpruned inert table is
+    855-1175 boundaries (~50 ms per 32 MB pass on-chip) vs ~111-137
+    at <=0x4FF."""
     from stringwars_tpu.ops.rulemap import compile_steps
 
     table = _inert_np(compat).astype(np.int32)
-    return compile_steps(table), table
+    rules = compile_steps(table)
+    if max_cp is not None:
+        rules = rules.prune(max_cp)
+    return rules, table
 
 
 def _rows_all_in_class(data: jax.Array, lengths: jax.Array, rules, table) -> jax.Array:
@@ -459,8 +467,10 @@ def _rows_all_in_class(data: jax.Array, lengths: jax.Array, rules, table) -> jax
     return jnp.all(ok | ~is_lead, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("compat",))
-def rows_inert(data: jax.Array, lengths: jax.Array, compat: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("compat", "max_cp"))
+def rows_inert(
+    data: jax.Array, lengths: jax.Array, compat: bool = False, max_cp: int | None = None
+) -> jax.Array:
     """bool[B]: each UTF-8 row is normalization-inert (already NFC *and*
     NFD verbatim: identity decomposition, ccc 0, not a combiner).
 
@@ -469,20 +479,25 @@ def rows_inert(data: jax.Array, lengths: jax.Array, compat: bool = False) -> jax
     UAX#15 quick-check class is much wider, since precomposed text is
     already NFC.)
     """
-    rules, table = _inert_steps(compat)
+    rules, table = _inert_steps(compat, max_cp)
     return _rows_all_in_class(data, lengths, rules, table)
 
 
 @functools.lru_cache(maxsize=None)
-def _nfc_fast_steps(compat: bool):
+def _nfc_fast_steps(compat: bool, max_cp: int | None = None):
     from stringwars_tpu.ops.rulemap import compile_steps
 
     table = tables.nfc_fast_table(compat).astype(np.int32)
-    return compile_steps(table), table
+    rules = compile_steps(table)
+    if max_cp is not None:
+        rules = rules.prune(max_cp)
+    return rules, table
 
 
-@functools.partial(jax.jit, static_argnames=("compat",))
-def rows_nfc_verbatim(data: jax.Array, lengths: jax.Array, compat: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("compat", "max_cp"))
+def rows_nfc_verbatim(
+    data: jax.Array, lengths: jax.Array, compat: bool = False, max_cp: int | None = None
+) -> jax.Array:
     """bool[B]: each UTF-8 row is verbatim its own NFC (NFKC w/ ``compat``).
 
     The production NFC path on TPU — the UAX#15 quick check (QC=Yes and
@@ -494,7 +509,7 @@ def rows_nfc_verbatim(data: jax.Array, lengths: jax.Array, compat: bool = False)
     (and a 32 MB multilingual corpus crashed the TPU worker with a
     multi-million-step lax.scan).
     """
-    rules, table = _nfc_fast_steps(compat)
+    rules, table = _nfc_fast_steps(compat, max_cp)
     return _rows_all_in_class(data, lengths, rules, table)
 
 

@@ -123,7 +123,9 @@ def main() -> None:
     for form in ("nfc", "nfd", "nfkc", "nfkd"):
         ctx.group(f"normalize-{form}")
         compat = form in ("nfkc", "nfkd")
-        routine = _normalize_routine(toks, rows_np, lengths_np, form, compat, n)
+        routine = _normalize_routine(
+            toks, rows_np, lengths_np, form, compat, n, max_cp=corpus_max_cp
+        )
         ctx.run(f"normalize-{form}/swtpu::utf8_norm<1chip>", "bytes", routine)
         ctx.run(
             f"normalize-{form}/unicodedata.normalize",
@@ -232,13 +234,17 @@ def main() -> None:
     ctx.run("case-insensitive-find/casefold-count", "bytes", host_find)
 
 
-def _normalize_routine(toks, rows_np, lengths_np, form: str, compat: bool, n: int):
+def _normalize_routine(
+    toks, rows_np, lengths_np, form: str, compat: bool, n: int, max_cp: int | None = None
+):
     """Quick-check + slow-subset normalize as one chained DeviceRoutine.
 
     Staging (host, free) routes rows: inert rows are covered by the
     device rule-map check (they ARE their own normalization, all forms);
     non-inert rows concatenate into a stream the exact kernels normalize
-    every iteration. Work per iteration = the whole corpus.
+    every iteration. Work per iteration = the whole corpus. ``max_cp``
+    (corpus ceiling, staging-known) prunes the quick-check rule maps —
+    unpruned they cost ~50 ms per 32 MB pass on-chip.
     """
     # NFC/NFKC key the quick check on the UAX#15 QC class (precomposed
     # text is verbatim NFC); NFD/NFKD need actual decompositions, so
@@ -275,7 +281,7 @@ def _normalize_routine(toks, rows_np, lengths_np, form: str, compat: bool, n: in
             lens_dev = jnp.asarray(slens)
 
             def body(s, e, d, ln, sr, sl):
-                quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat)
+                quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat, max_cp)
                 out, counts = NORM.decompose_rows(
                     _roll(s, sr), _roll(s, sl), compat, max_cp=slow_max
                 )
@@ -296,9 +302,9 @@ def _normalize_routine(toks, rows_np, lengths_np, form: str, compat: bool, n: in
 
     def body(s, e, d, ln, slow):
         if form in ("nfc", "nfkc"):
-            quick = NORM.rows_nfc_verbatim(_roll(s, d), _roll(s, ln), compat)
+            quick = NORM.rows_nfc_verbatim(_roll(s, d), _roll(s, ln), compat, max_cp)
         else:
-            quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat)
+            quick = NORM.rows_inert(_roll(s, d), _roll(s, ln), compat, max_cp)
         outs = [quick]
         if has_slow:
             rolled = _roll(s, slow)

@@ -182,6 +182,10 @@ def main() -> None:
         ]
         pretokens = [p for p in pretokens if 0 < len(p) <= 32][:400_000]
         merges = train_merges(pretokens[:30_000], 512)
+        # Length-sorted staging: fused-kernel tiles quiesce with their
+        # worst row, so grouping similar lengths lets short-pretoken
+        # tiles exit early (batch order is the encoder's to choose).
+        pretokens.sort(key=len)
         table = MergeTable.from_merges(merges)
         W = max(max(map(len, pretokens), default=1), 1)
         mat = np.zeros((len(pretokens), W), np.uint8)

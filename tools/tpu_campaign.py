@@ -599,6 +599,12 @@ def main():
         lengths = np.random.default_rng(1234).integers(2, 17, B).astype(np.int32)
         sample = [data[i, : lengths[i]].tobytes() for i in range(20_000)]
         table = MergeTable.from_merges(train_merges(sample, 256))
+        # Length-sorted staging: a fused-kernel tile runs until its WORST
+        # row quiesces, so grouping rows of similar merge depth lets
+        # short-word tiles exit after 1-2 iterations (same multiset of
+        # words; batch order is the encoder's to choose).
+        order = np.argsort(lengths, kind="stable")
+        data, lengths = data[order], lengths[order]
         d_dev = jax.device_put(data)
         l_dev = jax.device_put(lengths)
         total = int(lengths.sum())
