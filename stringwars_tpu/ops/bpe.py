@@ -74,13 +74,16 @@ class MergeTable:
         """ONE packed sparse equality map for the gather-free lookup —
         value = (rank + 1) << 16 | new_id (0 means miss; both halves fit
         16 bits since the rules path caps at 4096 merges) — or None when
-        keys exceed the rule evaluator's int32 domain."""
-        cached = _TABLE_RULES.get(id(self))
+        keys exceed the rule evaluator's int32 domain.
+
+        Memoized ON the instance (an earlier id(self)-keyed module dict
+        served STALE rules when a dead table's id was reused after GC)."""
+        cached = self.__dict__.get("_rules_cache")
         if cached is not None:
             return cached if cached != "none" else None
         keys = np.asarray(self.sorted_keys, np.int64)
         if keys.size == 0 or keys.max() >= 2**31 or keys.size > 4096:
-            _TABLE_RULES[id(self)] = "none"
+            object.__setattr__(self, "_rules_cache", "none")
             return None
         from stringwars_tpu.ops.rulemap import compile_sparse_values
 
@@ -88,11 +91,8 @@ class MergeTable:
             (np.asarray(self.ranks, np.int64) + 1) << 16
         ) | np.asarray(self.new_ids, np.int64)
         rules = compile_sparse_values(keys, packed)
-        _TABLE_RULES[id(self)] = rules
+        object.__setattr__(self, "_rules_cache", rules)
         return rules
-
-
-_TABLE_RULES: dict = {}
 
 
 def train_merges(corpus_tokens: list[bytes], n_merges: int) -> list[tuple[int, int]]:
@@ -261,11 +261,14 @@ def _encode_impl(ids, counts, lookup, max_iters: int):
         return ids, counts, changed, state[3] + 1
 
     ids, counts, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
-    # One stable compaction after the loop (holes sort last).
+    # One stable compaction after the loop (holes sort last): packed
+    # single-operand sort — ids fit 16 bits, and the old argsort +
+    # take_along_axis pair paid a near-scalar TPU gather.
     sort_keys = jnp.where(ids >= 0, pos, W + pos)
-    order = jnp.argsort(sort_keys, axis=1, stable=True)
-    ids = jnp.take_along_axis(ids, order, axis=1)
-    return ids, counts
+    packed = jax.lax.sort((sort_keys << 16) | (ids & jnp.int32(0xFFFF)), dimension=1)
+    vals = packed & jnp.int32(0xFFFF)
+    live = pos < counts[:, None]
+    return jnp.where(live, vals, -1), counts
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
@@ -292,28 +295,30 @@ def _rule_encoder(table: "MergeTable", max_iters: int, interpret: bool):
     """Per-table jitted encoder with a rule-map pair lookup: the merge
     table as sparse equality rules evaluated by the Pallas range kernel —
     zero gathers per iteration (a TPU binary search costs ~10 serializing
-    gathers per pair)."""
+    gathers per pair). The cache value holds the table, so its id can
+    never be recycled onto a different table's entry."""
     key = (id(table), max_iters, interpret)
-    enc = _RULE_ENCODERS.get(key)
-    if enc is None:
-        from stringwars_tpu.ops import rulemap
+    cached = _RULE_ENCODERS.get(key)
+    if cached is not None:
+        return cached[1]
+    from stringwars_tpu.ops import rulemap
 
-        rules = table.rule_maps()
+    rules = table.rule_maps()
 
-        def lookup(keys):
-            k = keys.astype(jnp.int32)
-            packed = rulemap.range_map(k, rules, interpret=interpret)
-            hit = packed > 0
-            return (
-                jnp.where(hit, (packed >> 16) - 1, _INF),
-                jnp.where(hit, packed & 0xFFFF, -1),
-            )
+    def lookup(keys):
+        k = keys.astype(jnp.int32)
+        packed = rulemap.range_map(k, rules, interpret=interpret)
+        hit = packed > 0
+        return (
+            jnp.where(hit, (packed >> 16) - 1, _INF),
+            jnp.where(hit, packed & 0xFFFF, -1),
+        )
 
-        @jax.jit
-        def enc(ids, counts):
-            return _encode_impl(ids, counts, lookup, max_iters)
+    @jax.jit
+    def enc(ids, counts):
+        return _encode_impl(ids, counts, lookup, max_iters)
 
-        _RULE_ENCODERS[key] = enc
+    _RULE_ENCODERS[key] = (table, enc)
     return enc
 
 

@@ -202,13 +202,17 @@ def _encode_fused(ids, counts, lo, hi, d, W: int, n_rules: int, max_iters: int, 
     tiled = padded.reshape(n_t, SUB, LANES)
     out = _bpe_tiles(tiled, lo, hi, d, n_rules, max_iters, interpret, group)
     full = out.reshape(n_t * per_tile, group)[:B]
-    # One stable compaction (holes sort last), same as the XLA path.
+    # One stable compaction: ids fit 16 bits (MergeTable caps the vocab),
+    # so (hole-last position key << 16 | id) packs into one positive
+    # int32 and a SINGLE-operand sort replaces the argsort +
+    # take_along_axis pair (a 16 M-element gather was the old floor).
     gpos = jnp.arange(group, dtype=jnp.int32)[None, :]
     sort_keys = jnp.where(full >= 0, gpos, group + gpos)
-    order = jnp.argsort(sort_keys, axis=1, stable=True)
-    full = jnp.take_along_axis(full, order, axis=1)
+    packed = jax.lax.sort((sort_keys << 16) | (full & jnp.int32(0xFFFF)), dimension=1)
     new_counts = jnp.sum((full >= 0).astype(jnp.int32), axis=1)
-    return full[:, :W], new_counts
+    vals = packed & jnp.int32(0xFFFF)
+    live = gpos < new_counts[:, None]
+    return jnp.where(live, vals, -1)[:, :W], new_counts
 
 
 def bpe_encode_fused(tokens, table, *, interpret: bool | None = None):

@@ -864,6 +864,7 @@ def main():
             r = _normalize_routine(
                 toks, np.asarray(toks.data), np.asarray(toks.lengths),
                 form, form in ("nfkc", "nfkd"), int(data.shape[0]),
+                max_cp=0x4FF,  # corpus ceiling: prunes the quick-check maps
             )
             return r.body, r.consts, r.extra0
 
