@@ -98,10 +98,11 @@ def _make_kernel(n_rules: int, max_iters: int, group: int):
                 ok = (keys >= lo_ref[r]) & (keys <= hi_ref[r])
                 return acc + jnp.where(ok, d_ref[r], 0)
 
-            # unroll: overlap the per-rule SMEM scalar loads with the
-            # vector compares (serialized loads dominate otherwise).
+            # Full unroll (Mosaic supports only unroll=1 or =num_steps):
+            # overlaps the per-rule SMEM scalar loads with the vector
+            # compares — serialized loads dominate the rolled loop.
             packed = jax.lax.fori_loop(
-                0, n_rules, body, jnp.zeros_like(keys), unroll=8
+                0, n_rules, body, jnp.zeros_like(keys), unroll=n_rules
             )
             hit = packed > 0
             rank = jnp.where(hit, packed >> 16, _INF)
