@@ -123,3 +123,83 @@ def bytesum_device(data: jax.Array, n: int) -> jax.Array:
     lo = jnp.sum(partials & 0xFFFF).astype(jnp.uint32)
     hi = jnp.sum(partials >> 16).astype(jnp.uint32)
     return (hi << 16) + lo
+
+
+# ---------------------------------------------------------------------------
+# Single-pass Pallas reduction — the true speed-of-light path. The XLA
+# word form above lowers to a multi-pass tree reduce (several HBM round
+# trips of partials; measured ~134 GB/s at 256 MB); this kernel streams
+# each block exactly once into a VMEM accumulator across the sequential
+# grid (traffic = one corpus read -> HBM-roofline-bound).
+# ---------------------------------------------------------------------------
+
+_PL_LANES = 1024
+_PL_SUB = 8
+
+
+def _bytesum_kernel(w_ref, out_ref, acc_ref):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((_PL_SUB, _PL_LANES), jnp.uint32)
+
+    w = w_ref[0]
+    m = jnp.uint32(0x00FF00FF)
+    pair = (w & m) + ((w >> 8) & m)
+    acc_ref[...] = acc_ref[...] + (pair & jnp.uint32(0xFFFF)) + (pair >> 16)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        acc = acc_ref[...]
+        lo = jnp.sum(acc & jnp.uint32(0xFFFF))
+        hi = jnp.sum(acc >> 16)
+        row = jax.lax.broadcasted_iota(jnp.int32, (_PL_SUB, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_PL_SUB, 128), 1)
+        out_ref[...] = jnp.where(
+            (row == 0) & (col == 0), hi, jnp.where((row == 0) & (col == 1), lo, 0)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _bytesum_words_pallas(words: jax.Array, n: int, interpret: bool = False):
+    """(hi, lo) 16-bit-limb halves of the byte sum, one HBM pass.
+
+    ``words``: little-endian u32, zero-padded past byte ``n`` to a
+    multiple of 8*1024 words. Per-slot u32 accumulation of <=1020/word
+    contributions stays exact for < 4.2 M grid steps (~275 GB).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    blk = _PL_SUB * _PL_LANES
+    rows = words.shape[0] // blk
+    out = pl.pallas_call(
+        _bytesum_kernel,
+        grid=(rows,),
+        in_specs=[pl.BlockSpec((1, _PL_SUB, _PL_LANES), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((_PL_SUB, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((_PL_SUB, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((_PL_SUB, _PL_LANES), jnp.uint32)],
+        interpret=interpret,
+    )(words.reshape(rows, _PL_SUB, _PL_LANES))
+    return out[0, 0], out[0, 1]
+
+
+def bytesum_words_pallas(words, n: int, *, interpret: bool | None = None) -> int:
+    """Exact byte sum via the single-pass kernel (production TPU path)."""
+    if n == 0:
+        return 0
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    words = jnp.asarray(words)
+    blk = _PL_SUB * _PL_LANES
+    need = -(-max((n + 3) // 4, 1) // blk) * blk
+    if words.shape[0] < need:
+        words = jnp.pad(words, (0, need - words.shape[0]))
+    else:
+        words = words[:need] if words.shape[0] % blk else words
+    hi, lo = _bytesum_words_pallas(words, n, bool(interpret))
+    return (int(hi) << 16) + int(lo)

@@ -179,21 +179,29 @@ def main() -> None:
     ctx.run("stateful/xxhash.xxh64_stream", "bytes", host_stream)
 
     ctx.group("checksum")
-    from stringwars_tpu.ops.bytesum import bytesum_words
-
     # u32-word staging: the u8→i32 convert path runs far below the HBM
-    # roofline (byte lanes tile-pad); words are the calibration-grade path.
-    from stringwars_tpu.ops.bytesum import _word_chunk_shape
+    # roofline (byte lanes tile-pad). Production path on TPU is the
+    # single-pass Pallas accumulator (one corpus read); the fused-XLA
+    # word reduce stays the CPU/interpret path.
+    from stringwars_tpu.ops.bytesum import (
+        _PL_LANES,
+        _PL_SUB,
+        _bytesum_words_pallas,
+        _bytesum_words_parts,
+    )
 
-    _rows, _chunk = _word_chunk_shape((n + 3) // 4)
-    _wbuf = np.zeros(_rows * _chunk * 4, np.uint8)
+    _blk = _PL_SUB * _PL_LANES
+    _nw = -(-max((n + 3) // 4, 1) // _blk) * _blk
+    _wbuf = np.zeros(_nw * 4, np.uint8)
     _wbuf[:n] = np.asarray(ctx.tape.data[:n])
     _words_dev = jax.device_put(np.ascontiguousarray(_wbuf.view("<u4")))
-
-    from stringwars_tpu.ops.bytesum import _bytesum_words_parts
+    _on_tpu = jax.default_backend() == "tpu"
 
     def bytesum_body(s, e, words):
-        hi, lo = _bytesum_words_parts(words ^ s, n)
+        if _on_tpu:
+            hi, lo = _bytesum_words_pallas(words ^ s, n, False)
+        else:
+            hi, lo = _bytesum_words_parts(words ^ s, n)
         return fold_salt(s, hi, lo), e
 
     ctx.run(

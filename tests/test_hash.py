@@ -146,3 +146,16 @@ def test_swh64_collision_quality(rng):
     tokens = list({bytes(rng.integers(97, 123, rng.integers(3, 12), dtype=np.uint8)) for _ in range(5000)})
     digests = swh64(_tokens(tokens), 0).to_numpy()
     assert np.unique(digests).size == len(tokens)  # no collisions on 5k tokens
+
+
+def test_bytesum_pallas_matches_host():
+    """Single-pass Pallas bytesum == python sum, odd sizes + padding."""
+    from stringwars_tpu.ops.bytesum import bytesum_words_pallas
+
+    rng = np.random.default_rng(3)
+    for n in (1, 17, 8191, 8192, 100_000):
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        padded = np.zeros(-(-n // 4) * 4, np.uint8)
+        padded[:n] = data
+        got = bytesum_words_pallas(padded.view("<u4"), n, interpret=True)
+        assert got == int(data.sum()), n

@@ -201,6 +201,27 @@ def _lines_tokens(B=131072, W=1024, seed=0):
 
 def main():
     def mk_bytesum():
+        # Production path: single-pass Pallas accumulator (one HBM read).
+        from stringwars_tpu.ops.bytesum import _PL_LANES, _PL_SUB, _bytesum_words_pallas
+
+        N = 256 << 20
+        blk = _PL_SUB * _PL_LANES
+        n_words = -(-(N // 4) // blk) * blk
+        padded = np.zeros(n_words * 4, np.uint8)
+        padded[:N] = _flat(N)
+        dev = jax.device_put(np.ascontiguousarray(padded.view("<u4")))
+
+        def body(s, e, words):
+            hi, lo = _bytesum_words_pallas(words ^ s, N, False)
+            return _fold(s, hi, lo), e
+
+        return body, (dev,), ()
+
+    bench("bytesum-256MB", mk_bytesum, 256 << 20)
+
+    def mk_bytesum_xla():
+        # Diagnostic: the fused-XLA word reduce (multi-pass tree; the
+        # round-2/3 record path) — kept to quantify the single-pass win.
         from stringwars_tpu.ops.bytesum import _bytesum_words_parts, _word_chunk_shape
 
         N = 256 << 20
@@ -215,7 +236,7 @@ def main():
 
         return body, (dev,), ()
 
-    bench("bytesum-256MB", mk_bytesum, 256 << 20)
+    bench("bytesum-xla-256MB", mk_bytesum_xla, 256 << 20)
 
     def mk_byteset():
         from stringwars_tpu.ops.find import _byteset_member, pack_byteset
