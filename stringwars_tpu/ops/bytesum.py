@@ -154,13 +154,15 @@ def _bytesum_kernel(w_ref, out_ref, acc_ref):
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
         acc = acc_ref[...]
-        lo = jnp.sum(acc & jnp.uint32(0xFFFF))
-        hi = jnp.sum(acc >> 16)
+        # Mosaic has no unsigned reductions; both 16-bit halves fit i32
+        # (8192 slots x 65535 < 2^31).
+        lo = jnp.sum((acc & jnp.uint32(0xFFFF)).astype(jnp.int32))
+        hi = jnp.sum((acc >> 16).astype(jnp.int32))
         row = jax.lax.broadcasted_iota(jnp.int32, (_PL_SUB, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (_PL_SUB, 128), 1)
         out_ref[...] = jnp.where(
             (row == 0) & (col == 0), hi, jnp.where((row == 0) & (col == 1), lo, 0)
-        )
+        ).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
