@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from stringwars_tpu.ops import chacha as CC
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import setup_suite
 from stringwars_tpu.utils.harness import (
     DeviceRoutine,
     WorkUnits,

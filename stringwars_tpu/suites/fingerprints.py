@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from stringwars_tpu.ops import fingerprint as FP
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import setup_suite
 from stringwars_tpu.tape import PaddedTokens
 from stringwars_tpu.utils.config import get_env, get_env_parsed
 from stringwars_tpu.utils.harness import WorkUnits, sync

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stringwars_tpu.ops import memops as M
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import setup_suite
 from stringwars_tpu.utils.harness import DeviceRoutine, WorkUnits, fold_salt, perturb_u8, sync
 
 

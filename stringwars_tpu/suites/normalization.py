@@ -23,7 +23,7 @@ import numpy as np
 
 from stringwars_tpu.ops import casefold as CF
 from stringwars_tpu.ops import normalize as NORM
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import setup_suite
 from stringwars_tpu.tape import PaddedTokens, Tape
 from stringwars_tpu.utils.harness import (
     DeviceRoutine,

@@ -27,7 +27,7 @@ from stringwars_tpu.ops.sort import (
     _uncased_order,
     argsort_tape,
 )
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import setup_suite
 from stringwars_tpu.tape import PaddedTokens
 from stringwars_tpu.utils.harness import (
     DeviceRoutine,

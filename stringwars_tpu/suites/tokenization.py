@@ -12,7 +12,7 @@ import numpy as np
 
 from stringwars_tpu.ops import segment as SEG
 from stringwars_tpu.ops import utf8 as U8
-from stringwars_tpu.suites._common import SuiteContext, setup_suite
+from stringwars_tpu.suites._common import setup_suite
 from stringwars_tpu.utils.harness import DeviceRoutine, WorkUnits, fold_salt
 
 
