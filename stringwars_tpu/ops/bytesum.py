@@ -135,6 +135,8 @@ def bytesum_device(data: jax.Array, n: int) -> jax.Array:
 
 _PL_LANES = 1024
 _PL_SUB = 8
+_PL_BLK = 32  # sub-blocks per grid step: 1 MB DMAs (32 KB steps measured
+              # DMA-overhead-bound at 78 GB/s; the data wants big transfers)
 
 
 def _bytesum_kernel(w_ref, out_ref, acc_ref):
@@ -146,10 +148,13 @@ def _bytesum_kernel(w_ref, out_ref, acc_ref):
     def _():
         acc_ref[...] = jnp.zeros((_PL_SUB, _PL_LANES), jnp.uint32)
 
-    w = w_ref[0]
     m = jnp.uint32(0x00FF00FF)
-    pair = (w & m) + ((w >> 8) & m)
-    acc_ref[...] = acc_ref[...] + (pair & jnp.uint32(0xFFFF)) + (pair >> 16)
+    acc = acc_ref[...]
+    for k in range(_PL_BLK):
+        w = w_ref[k]
+        pair = (w & m) + ((w >> 8) & m)
+        acc = acc + (pair & jnp.uint32(0xFFFF)) + (pair >> 16)
+    acc_ref[...] = acc
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -170,23 +175,24 @@ def _bytesum_words_pallas(words: jax.Array, n: int, interpret: bool = False):
     """(hi, lo) 16-bit-limb halves of the byte sum, one HBM pass.
 
     ``words``: little-endian u32, zero-padded past byte ``n`` to a
-    multiple of 8*1024 words. Per-slot u32 accumulation of <=1020/word
-    contributions stays exact for < 4.2 M grid steps (~275 GB).
+    multiple of 32*8*1024 words. Per-slot u32 accumulation of
+    <=1020/word contributions stays exact for < 4.2 M sub-blocks
+    (~275 GB).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    blk = _PL_SUB * _PL_LANES
+    blk = _PL_BLK * _PL_SUB * _PL_LANES
     rows = words.shape[0] // blk
     out = pl.pallas_call(
         _bytesum_kernel,
         grid=(rows,),
-        in_specs=[pl.BlockSpec((1, _PL_SUB, _PL_LANES), lambda i: (i, 0, 0))],
+        in_specs=[pl.BlockSpec((_PL_BLK, _PL_SUB, _PL_LANES), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((_PL_SUB, 128), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((_PL_SUB, 128), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((_PL_SUB, _PL_LANES), jnp.uint32)],
         interpret=interpret,
-    )(words.reshape(rows, _PL_SUB, _PL_LANES))
+    )(words.reshape(rows * _PL_BLK, _PL_SUB, _PL_LANES))
     return out[0, 0], out[0, 1]
 
 
@@ -197,7 +203,7 @@ def bytesum_words_pallas(words, n: int, *, interpret: bool | None = None) -> int
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     words = jnp.asarray(words)
-    blk = _PL_SUB * _PL_LANES
+    blk = _PL_BLK * _PL_SUB * _PL_LANES
     need = -(-max((n + 3) // 4, 1) // blk) * blk
     if words.shape[0] < need:
         words = jnp.pad(words, (0, need - words.shape[0]))

@@ -184,13 +184,14 @@ def main() -> None:
     # single-pass Pallas accumulator (one corpus read); the fused-XLA
     # word reduce stays the CPU/interpret path.
     from stringwars_tpu.ops.bytesum import (
+        _PL_BLK,
         _PL_LANES,
         _PL_SUB,
         _bytesum_words_pallas,
         _bytesum_words_parts,
     )
 
-    _blk = _PL_SUB * _PL_LANES
+    _blk = _PL_BLK * _PL_SUB * _PL_LANES
     _nw = -(-max((n + 3) // 4, 1) // _blk) * _blk
     _wbuf = np.zeros(_nw * 4, np.uint8)
     _wbuf[:n] = np.asarray(ctx.tape.data[:n])

@@ -818,12 +818,11 @@ def main():
     bench("tr29-words-32MB", mk_segment("word_boundaries", _SEG_N), _SEG_N)
     bench("tr29-graphemes-32MB", mk_segment("grapheme_boundaries", _SEG_N), _SEG_N)
     bench("tr29-sentences-32MB", mk_segment("sentence_boundaries", _SEG_N), _SEG_N)
+    # The linebreak program sits at the compile helper's memory cliff
+    # (finding #8): 25-40 min compiles that succeed ~half the time, at
+    # BOTH 16 and 32 MB — the pain is program complexity, not stream
+    # size. Measured result (twice): 0.26-0.27 GB/s.
     bench("uax14-lines-32MB", mk_segment("linebreak_opportunities", _SEG_N), _SEG_N)
-    # The 32 MB linebreak program sits at the compile helper's ~100 KB
-    # MLIR memory cliff (finding #8) — it compiled once (30 min) and has
-    # SIGKILLed on other attempts. 16 MB halves the XLA-side shapes and
-    # compiles reliably; GB/s is size-independent at these scales.
-    bench("uax14-lines-16MB", mk_segment("linebreak_opportunities", 16 << 20), 16 << 20)
     bench("whitespace-split-32MB", mk_segment("whitespace_token_count", _SEG_N), _SEG_N)
     bench("newline-split-32MB", mk_segment("newline_split_count", _SEG_N), _SEG_N)
     bench(
