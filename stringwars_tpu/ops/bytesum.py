@@ -139,7 +139,7 @@ _PL_BLK = 32  # sub-blocks per grid step: 1 MB DMAs (32 KB steps measured
               # DMA-overhead-bound at 78 GB/s; the data wants big transfers)
 
 
-def _bytesum_kernel(w_ref, out_ref, acc_ref):
+def _bytesum_kernel(salt_ref, w_ref, out_ref, acc_ref):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
@@ -149,9 +149,10 @@ def _bytesum_kernel(w_ref, out_ref, acc_ref):
         acc_ref[...] = jnp.zeros((_PL_SUB, _PL_LANES), jnp.uint32)
 
     m = jnp.uint32(0x00FF00FF)
-    acc = acc_ref[...]
+    salt = salt_ref[0]  # in-kernel perturbation: the chained protocol's
+    acc = acc_ref[...]  # salt XOR costs no extra HBM pass this way
     for k in range(_PL_BLK):
-        w = w_ref[k]
+        w = w_ref[k] ^ salt
         pair = (w & m) + ((w >> 8) & m)
         acc = acc + (pair & jnp.uint32(0xFFFF)) + (pair >> 16)
     acc_ref[...] = acc
@@ -171,7 +172,7 @@ def _bytesum_kernel(w_ref, out_ref, acc_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def _bytesum_words_pallas(words: jax.Array, n: int, interpret: bool = False):
+def _bytesum_words_pallas(words: jax.Array, n: int, interpret: bool = False, salt=None):
     """(hi, lo) 16-bit-limb halves of the byte sum, one HBM pass.
 
     ``words``: little-endian u32, zero-padded past byte ``n`` to a
@@ -184,15 +185,20 @@ def _bytesum_words_pallas(words: jax.Array, n: int, interpret: bool = False):
 
     blk = _PL_BLK * _PL_SUB * _PL_LANES
     rows = words.shape[0] // blk
+    if salt is None:
+        salt = jnp.uint32(0)
     out = pl.pallas_call(
         _bytesum_kernel,
         grid=(rows,),
-        in_specs=[pl.BlockSpec((_PL_BLK, _PL_SUB, _PL_LANES), lambda i: (i, 0, 0))],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_PL_BLK, _PL_SUB, _PL_LANES), lambda i: (i, 0, 0)),
+        ],
         out_specs=pl.BlockSpec((_PL_SUB, 128), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((_PL_SUB, 128), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((_PL_SUB, _PL_LANES), jnp.uint32)],
         interpret=interpret,
-    )(words.reshape(rows * _PL_BLK, _PL_SUB, _PL_LANES))
+    )(jnp.asarray(salt, jnp.uint32).reshape(1), words.reshape(rows * _PL_BLK, _PL_SUB, _PL_LANES))
     return out[0, 0], out[0, 1]
 
 

@@ -212,7 +212,9 @@ def main():
         dev = jax.device_put(np.ascontiguousarray(padded.view("<u4")))
 
         def body(s, e, words):
-            hi, lo = _bytesum_words_pallas(words ^ s, N, False)
+            # Salt applied IN-kernel: the chained perturbation must not
+            # add an extra XLA materialization pass to a 1-pass probe.
+            hi, lo = _bytesum_words_pallas(words, N, False, salt=s)
             return _fold(s, hi, lo), e
 
         return body, (dev,), ()
