@@ -66,8 +66,10 @@ def log(msg: str) -> None:
 
 def device_healthy() -> bool:
     """Quick gate: can we reach the chip and run a trivial program within
-    120 s? On failure the bench refuses early instead of burning its
-    whole budget against a dead tunnel."""
+    180 s? (A fresh process pays ~10-40 s of JAX init through the
+    tunnel; a recently-killed server-side compile can add a minute.)
+    On failure the bench refuses early instead of burning its whole
+    budget against a dead tunnel."""
     probe = (
         "import jax, jax.numpy as jnp\n"
         "x = jax.device_put(jnp.arange(1024, dtype=jnp.uint32))\n"
@@ -75,10 +77,10 @@ def device_healthy() -> bool:
     )
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", probe], capture_output=True, timeout=120, text=True
+            [sys.executable, "-c", probe], capture_output=True, timeout=180, text=True
         )
     except subprocess.TimeoutExpired:
-        log("health gate: device probe timed out (120 s)")
+        log("health gate: device probe timed out (180 s)")
         return False
     if proc.returncode != 0:
         log(f"health gate: probe rc={proc.returncode}: {proc.stderr.strip()[-200:]}")
