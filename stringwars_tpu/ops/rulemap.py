@@ -36,7 +36,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = (8, 1024)  # VMEM-resident codepoint tile per grid step
+# VMEM-resident codepoint tile per grid step. 256 KB blocks: the original
+# (8, 1024) = 32 KB blocks measured DMA-overhead-bound (the German-fold
+# rule stage profiled 15.4 ms where op counts predicted ~3 — thousands of
+# tiny grid steps; the single-pass bytesum kernel hit the same wall).
+_BLOCK = (64, 1024)
 _MAX_CP = 0x110000
 
 
