@@ -352,3 +352,66 @@ def fused_scan(
         flat = o.reshape(-1)[:n]
         result[name] = jnp.flip(flat) if reverse else flat
     return result
+
+
+# ---------------------------------------------------------------------------
+# Elementwise rule evaluator: the boundary kernels' pair-rule logic is
+# 30-80 elementwise terms over ~10 feature arrays; left to XLA at stream
+# scale it materializes as dozens of full-array HBM passes (the UAX#14
+# rules stage profiled ~90 ms of a 126 ms iteration). This kernel loads
+# every feature tile once and evaluates the whole rule function in
+# registers — the same fn runs directly on full arrays for the CPU path.
+# ---------------------------------------------------------------------------
+
+_EW_BLK = 16  # (16, 8, 1024) int32 blocks: 512 KB per operand per step
+
+
+def _ew_kernel(n_in: int, fn, names):
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        out_ref = refs[n_in]
+        for k in range(_EW_BLK):
+            env = {name: in_refs[i][k] for i, name in enumerate(names)}
+            out_ref[k] = fn(env).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _ew_call(fn, names: tuple[str, ...], rows: int, interpret: bool):
+    spec = pl.BlockSpec((_EW_BLK, _SUBS, _LANES), lambda i: (i, 0, 0))
+
+    @jax.jit
+    def call(*inputs):
+        return pl.pallas_call(
+            _ew_kernel(len(names), fn, names),
+            grid=(rows // _EW_BLK,),
+            in_specs=[spec] * len(names),
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, _SUBS, _LANES), jnp.int32),
+            interpret=interpret,
+        )(*inputs)
+
+    return call
+
+
+def elementwise_map(
+    inputs: dict[str, jax.Array], fn, n: int, *, interpret: bool | None = None
+) -> jax.Array:
+    """Evaluate ``fn(env) -> bool/int32`` over named int32 streams in one
+    Pallas pass; returns int32[n]. ``fn`` must be elementwise and
+    shape-agnostic (it also runs directly on the full arrays in the CPU
+    path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    names = tuple(sorted(inputs))
+    blk = _EW_BLK * _TILE
+    rows = max(_EW_BLK * _SUBS, -(-n // blk) * _EW_BLK * _SUBS)
+    pad = rows * _LANES - n
+    tiled = [
+        jnp.pad(inputs[k].astype(jnp.int32), (0, pad)).reshape(rows // _SUBS, _SUBS, _LANES)
+        for k in names
+    ]
+    call = _ew_call(fn, names, rows // _SUBS, bool(interpret))
+    out = call(*tiled)
+    return out.reshape(-1)[:n]

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stringwars_tpu.ops.scanline import Op, fused_scan
+from stringwars_tpu.ops.scanline import Op, elementwise_map, fused_scan
 from stringwars_tpu.ops.utf8 import utf8_decode
 from stringwars_tpu.unicode import tables
 
@@ -351,22 +351,49 @@ def grapheme_boundaries(
     incb = jnp.where(is_lead, _class_of(cp, "incb_table", max_cp), _CONT)
     G = _G
 
+    use_scan = _use_scanline(scanline)
     feats = (
         _graph_feats_scan(cls, pict, incb, is_lead, n)
-        if _use_scanline(scanline)
+        if use_scan
         else _graph_feats_xla(cls, pict, incb, is_lead, n)
     )
-    prev = feats["prev"]
-    ri = cls == G["Regional_Indicator"]
-    ri_run_prev = feats["ri_run_prev"]
-    pe_before_zwj = feats["pe_before_zwj"] > 0
-    ctl = (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"])
-    ctl_prev = feats["ctl_prev"] > 0
+    env = {
+        "cls": cls,
+        "pict": pict,
+        "incb": incb,
+        "lead": is_lead,
+        "prev": feats["prev"],
+        "ri_run_prev": feats["ri_run_prev"],
+        "pe_before_zwj": feats["pe_before_zwj"],
+        "ctl_prev": feats["ctl_prev"],
+        "incb_at_j": feats["incb_at_j"],
+        "cum_at_j": feats["cum_at_j"],
+        "linker_at_prev": feats["linker_at_prev"],
+        "lead_ord": feats["lead_ord"],
+    }
+    if use_scan:
+        boundary = elementwise_map(env, _graph_rules, n) > 0
+    else:
+        boundary = _graph_rules(env) > 0
+    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
 
-    no_break = jnp.zeros((n,), bool)
+
+def _graph_rules(e):
+    """TR29 grapheme pair rules — elementwise over the feature env."""
+    G = _G
+    cls = e["cls"]
+    incb = e["incb"]
+    is_lead = e["lead"] > 0
+    pict = e["pict"] > 0
+    prev = e["prev"]
+    ri = cls == G["Regional_Indicator"]
+    pe_before_zwj = e["pe_before_zwj"] > 0
+    ctl = (cls == G["Control"]) | (cls == G["CR"]) | (cls == G["LF"])
+    ctl_prev = e["ctl_prev"] > 0
+
     # GB3: CR x LF
-    no_break |= (prev == G["CR"]) & (cls == G["LF"])
-    gb45 = (ctl_prev | ctl) & ~((prev == G["CR"]) & (cls == G["LF"]))
+    no_break = (prev == G["CR"]) & (cls == G["LF"])
+    gb45 = (ctl_prev | ctl) & ~no_break
     # GB6-8 Hangul
     hangul = (
         ((prev == G["L"]) & ((cls == G["L"]) | (cls == G["V"]) | (cls == G["LV"]) | (cls == G["LVT"])))
@@ -379,22 +406,20 @@ def grapheme_boundaries(
     # GB11
     zwj_pict = (prev == G["ZWJ"]) & pict & pe_before_zwj
     # GB12/13
-    ri_pair = (prev == G["Regional_Indicator"]) & ri & ((ri_run_prev % 2) == 1)
-
+    ri_pair = (prev == G["Regional_Indicator"]) & ri & ((e["ri_run_prev"] % 2) == 1)
     # GB9c (Unicode 15.1 Indic conjuncts): Consonant [Extend|Linker]*
     # Linker [Extend|Linker]* x Consonant. Class / linker-cumsum features
     # are taken AT the last non-(Extend|Linker) cp before this one.
     conjunct = (
         (incb == 3)
-        & (feats["incb_at_j"] == 3)
-        & ((feats["linker_at_prev"] - feats["cum_at_j"]) >= 1)
+        & (e["incb_at_j"] == 3)
+        & ((e["linker_at_prev"] - e["cum_at_j"]) >= 1)
     )
 
     no_break |= (~gb45) & (hangul | attach | prepend | zwj_pict | ri_pair | conjunct)
-
     boundary = ~no_break & is_lead
-    boundary |= is_lead & (feats["lead_ord"] == 1)
-    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+    boundary |= is_lead & (e["lead_ord"] == 1)
+    return boundary
 
 
 def _byte_segments(text: str, boundary_fn) -> list[str]:
@@ -508,28 +533,55 @@ def word_boundaries(
     ri = (cls == W["Regional_Indicator"]) & ~ignore
     basemask = ~ri & ~ignore & is_lead
 
-    feats_fn = _word_feats_scan if _use_scanline(scanline) else _word_feats_xla
+    use_scan = _use_scanline(scanline)
+    feats_fn = _word_feats_scan if use_scan else _word_feats_xla
     feats = feats_fn(cls, keep, is_lead, newline, ri, basemask, n)
-    prev_eff = feats["prev_eff"]
-    prev2_eff = feats["prev2_eff"]
-    next_eff = feats["next_eff"]
-    prev_raw = feats["prev_raw"]
-    prev_is_nl = feats["prev_is_nl"] > 0
-    ri_run_prev_eff = feats["ri_run_prev_eff"]
+    env = {
+        "cls": cls,
+        "pict": pict,
+        "lead": is_lead,
+        "prev_eff": feats["prev_eff"],
+        "prev2_eff": feats["prev2_eff"],
+        "next_eff": feats["next_eff"],
+        "prev_raw": feats["prev_raw"],
+        "prev_is_nl": feats["prev_is_nl"],
+        "ri_run_prev_eff": feats["ri_run_prev_eff"],
+        "lead_ord": feats["lead_ord"],
+    }
+    if use_scan:
+        boundary = elementwise_map(env, _word_rules, n) > 0
+    else:
+        boundary = _word_rules(env) > 0
+    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+
+
+def _word_rules(e):
+    """TR29 word pair rules — elementwise over the feature env (runs both
+    on full arrays and inside the Pallas elementwise evaluator, where XLA
+    left ~30 materialized full-stream passes)."""
+    W = _W
+    cls = e["cls"]
+    is_lead = e["lead"] > 0
+    pict = e["pict"] > 0
+    prev_is_nl = e["prev_is_nl"] > 0
+    prev_raw = e["prev_raw"]
+    next_eff = e["next_eff"]
+    ri_run_prev_eff = e["ri_run_prev_eff"]
+    ignore = (cls == W["Extend"]) | (cls == W["Format"]) | (cls == W["ZWJ"])
+    newline = (cls == W["CR"]) | (cls == W["LF"]) | (cls == W["Newline"])
 
     def isin(c, names):
-        out = jnp.zeros(c.shape, bool)
-        for name in names:
+        out = c == W[names[0]]
+        for name in names[1:]:
             out |= c == W[name]
         return out
 
     AH = ("ALetter", "Hebrew_Letter")
     MidNumLetQ = ("MidNumLet", "Single_Quote")
 
-    no_break = jnp.zeros((n,), bool)
     # WB3: CR x LF
     wb3 = (prev_raw == W["CR"]) & (cls == W["LF"])
-    no_break |= wb3
+    no_break = wb3
     # WB3a/3b: breaks around newlines (dominates everything except WB3).
     wb3ab = (prev_is_nl | newline) & ~wb3
     # WB3c: ZWJ x ExtPict (raw adjacency)
@@ -540,13 +592,11 @@ def word_boundaries(
     # (unless after sot / newline, handled via wb3ab). X may itself be an
     # ignorable (e.g. Extend at sot absorbs a following Extend — official
     # WordBreakTest `÷ 0300 × 0300 ÷`).
-    not_first_cp = feats["lead_ord"] > 1
-    no_break |= ignore & not_first_cp & ~prev_is_nl
+    no_break |= ignore & (e["lead_ord"] > 1) & ~prev_is_nl
     # Rules on effective classes (current must be non-ignored).
     cur = jnp.where(ignore, jnp.int32(-2), cls)  # ignorables already decided
-    pe, p2 = prev_eff, prev2_eff
-    nb = jnp.zeros((n,), bool)
-    nb |= isin(pe, AH) & isin(cur, AH)  # WB5
+    pe, p2 = e["prev_eff"], e["prev2_eff"]
+    nb = isin(pe, AH) & isin(cur, AH)  # WB5
     nb |= isin(pe, AH) & (isin(cur, ("MidLetter",)) | isin(cur, MidNumLetQ)) & isin(next_eff, AH)  # WB6
     nb |= (isin(p2, AH) & (isin(pe, ("MidLetter",)) | isin(pe, MidNumLetQ))) & isin(cur, AH)  # WB7
     nb |= (pe == W["Hebrew_Letter"]) & (cur == W["Single_Quote"])  # WB7a
@@ -564,8 +614,8 @@ def word_boundaries(
     no_break |= nb & ~wb3ab
 
     boundary = ~no_break & is_lead
-    boundary |= is_lead & (feats["lead_ord"] == 1)
-    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+    boundary |= is_lead & (e["lead_ord"] == 1)
+    return boundary
 
 
 def word_segments(text: str) -> list[str]:
@@ -690,15 +740,6 @@ def sentence_boundaries(
     feats_fn = _sent_feats_scan if use_scan else _sent_feats_xla
     feats = feats_fn(cls, keep, is_lead, ign, parasep, n)
     eff = feats["eff"]
-    prev_raw = feats["prev_raw"]
-    prev_eff = feats["prev_eff"]
-    prev2_eff = feats["prev2_eff"]
-    ctx_cls = feats["ctx_cls"]
-    ctx9_cls = feats["ctx9_cls"]
-    prev_parasep = feats["prev_parasep"] > 0
-    saterm_ctx = (ctx_cls == S["ATerm"]) | (ctx_cls == S["STerm"])
-    aterm_ctx = ctx_cls == S["ATerm"]
-    saterm_ctx9 = (ctx9_cls == S["ATerm"]) | (ctx9_cls == S["STerm"])
 
     # Forward scan for SB8: first "stopper" at/after cur is Lower?
     stopper = (
@@ -716,9 +757,45 @@ def sentence_boundaries(
     else:
         next_stop_cls = _next_value(eff, stopper & is_lead, jnp.int32(S["Other"]))
 
-    cur = eff
-    # Build from lowest to highest precedence (later writes win).
-    boundary = jnp.zeros((n,), bool)  # SB998: no break
+    env = {
+        "cls": cls,
+        "lead": is_lead,
+        "eff": eff,
+        "ctx_cls": feats["ctx_cls"],
+        "ctx9_cls": feats["ctx9_cls"],
+        "prev_raw": feats["prev_raw"],
+        "prev_eff": feats["prev_eff"],
+        "prev2_eff": feats["prev2_eff"],
+        "next_stop_cls": next_stop_cls,
+        "prev_parasep": feats["prev_parasep"],
+        "lead_ord": feats["lead_ord"],
+    }
+    if use_scan:
+        boundary = elementwise_map(env, _sent_rules, n) > 0
+    else:
+        boundary = _sent_rules(env) > 0
+    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+
+
+def _sent_rules(e):
+    """TR29 sentence rules (SB3-SB11), lowest to highest precedence —
+    elementwise over the feature env (full arrays on CPU, tile-resident
+    in the Pallas evaluator on TPU)."""
+    S = _S
+    cls = e["cls"]
+    is_lead = e["lead"] > 0
+    cur = e["eff"]
+    ctx_cls, ctx9_cls = e["ctx_cls"], e["ctx9_cls"]
+    prev_eff, prev2_eff = e["prev_eff"], e["prev2_eff"]
+    prev_parasep = e["prev_parasep"] > 0
+    ign = (cls == S["Extend"]) | (cls == S["Format"])
+    parasep = (cls == S["Sep"]) | (cls == S["CR"]) | (cls == S["LF"])
+    saterm_ctx = (ctx_cls == S["ATerm"]) | (ctx_cls == S["STerm"])
+    aterm_ctx = ctx_cls == S["ATerm"]
+    saterm_ctx9 = (ctx9_cls == S["ATerm"]) | (ctx9_cls == S["STerm"])
+
+    # SB998: no break; build from lowest to highest precedence.
+    boundary = jnp.zeros_like(is_lead)
     # SB11: SATerm Close* Sp* ÷ (anything not matched below).
     boundary = jnp.where(saterm_ctx, True, boundary)
     # SB10: ... x (Sp | ParaSep) -> no break.
@@ -734,7 +811,7 @@ def sentence_boundaries(
         boundary,
     )
     # SB8: ATerm Close* Sp* x (not-stopper)* Lower.
-    boundary = jnp.where(aterm_ctx & (next_stop_cls == S["Lower"]), False, boundary)
+    boundary = jnp.where(aterm_ctx & (e["next_stop_cls"] == S["Lower"]), False, boundary)
     # SB7: (Upper|Lower) ATerm x Upper.
     boundary = jnp.where(
         ((prev2_eff == S["Upper"]) | (prev2_eff == S["Lower"]))
@@ -749,11 +826,11 @@ def sentence_boundaries(
     # SB4: ParaSep ÷.
     boundary = jnp.where(prev_parasep, True, boundary)
     # SB3: CR x LF.
-    boundary = jnp.where((prev_raw == S["CR"]) & (cls == S["LF"]), False, boundary)
+    boundary = jnp.where((e["prev_raw"] == S["CR"]) & (cls == S["LF"]), False, boundary)
 
     boundary &= is_lead
-    boundary |= is_lead & (feats["lead_ord"] == 1)
-    return boundary, jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
+    boundary |= is_lead & (e["lead_ord"] == 1)
+    return boundary
 
 
 def sentence_segments(text: str) -> list[str]:
@@ -926,20 +1003,48 @@ def linebreak_opportunities(
     )
     base_mask = ~cm & is_lead
 
-    feats_fn = _lb_feats_scan if _use_scanline(scanline) else _lb_feats_xla
+    use_scan = _use_scanline(scanline)
+    feats_fn = _lb_feats_scan if use_scan else _lb_feats_xla
     feats = feats_fn(cls, cm, hard, base_mask, is_lead, n)
-    attached = feats["attached"]
-    eff = feats["eff"]
-    prev_raw = feats["prev_raw"]
-    prev = feats["prev"]
-    before_sp = feats["before_sp"]
-    prev2 = feats["prev2"]
-    ri_run_prev = feats["ri_run_prev"]
+    env = {
+        "cls": cls,
+        "lead": is_lead,
+        "attached": feats["attached"],
+        "eff": feats["eff"],
+        "prev_raw": feats["prev_raw"],
+        "prev": feats["prev"],
+        "before_sp": feats["before_sp"],
+        "prev2": feats["prev2"],
+        "ri_run_prev": feats["ri_run_prev"],
+        "nxt": feats["nxt"],
+        "lead_ord": feats["lead_ord"],
+    }
+    if use_scan:
+        breaks = elementwise_map(env, _lb_rules, n) > 0
+    else:
+        breaks = _lb_rules(env) > 0
+    return breaks, jnp.sum(breaks.astype(jnp.int32), dtype=jnp.int32)
+
+
+def _lb_rules(e):
+    """UAX#14 pair rules LB4-LB31 — elementwise over the feature env
+    (this section alone profiled ~90 ms of a 126 ms iteration as XLA
+    full-stream passes; tile-resident it is a few ms)."""
+    L = _lb_classes()
+    cls = e["cls"]
+    is_lead = e["lead"] > 0
+    attached = e["attached"] > 0
+    eff = e["eff"]
+    prev_raw = e["prev_raw"]
+    prev = e["prev"]
+    before_sp = e["before_sp"]
+    prev2 = e["prev2"]
+    ri_run_prev = e["ri_run_prev"]
     ri = eff == L["RI"]
 
     def isin(c, names):
-        out = jnp.zeros(c.shape, bool)
-        for name in names:
+        out = c == L[names[0]]
+        for name in names[1:]:
             out |= c == L[name]
         return out
 
@@ -947,7 +1052,7 @@ def linebreak_opportunities(
         (prev_raw == L["CR"]) & (cls == L["LF"])
     )
 
-    no_break = jnp.zeros((n,), bool)
+    no_break = jnp.zeros_like(is_lead)
     # LB6: x (BK|CR|LF|NL); LB5 CRxLF folded in via mandatory_prev.
     no_break |= isin(eff, ("BK", "CR", "LF", "NL"))
     # LB7: x SP, x ZW.
@@ -976,7 +1081,6 @@ def linebreak_opportunities(
     # LB21: x (BA|HY|NS); BB x.
     no_break |= isin(eff, ("BA", "HY", "NS")) | (prev == L["BB"])
     # LB21a: HL (HY|BA) x.
-    prev2 = _prev1(prev, is_lead, jnp.int32(L["BK"]))
     no_break |= (prev2 == L["HL"]) & isin(prev, ("HY", "BA"))
     # LB21b: SY x HL.
     no_break |= (prev == L["SY"]) & (eff == L["HL"])
@@ -998,7 +1102,7 @@ def linebreak_opportunities(
     # LB25 lookahead piece of the full regex: (PR|PO) x (OP|HY) NU — the
     # opener/hyphen glues to a following digit ("$ (100)", "US$-10").
     no_break |= (
-        isin(prev, ("PR", "PO")) & isin(eff, ("OP", "HY")) & (feats["nxt"] == L["NU"])
+        isin(prev, ("PR", "PO")) & isin(eff, ("OP", "HY")) & (e["nxt"] == L["NU"])
     )
     # LB26/27: Korean syllable blocks.
     no_break |= (prev == L["JL"]) & isin(eff, ("JL", "JV", "H2", "H3"))
@@ -1027,8 +1131,8 @@ def linebreak_opportunities(
     # LB8: ZW SP* -> break.
     breaks |= (before_sp == L["ZW"]) | (prev == L["ZW"])
     breaks &= is_lead
-    breaks &= ~(is_lead & (feats["lead_ord"] == 1))  # LB2: no break at sot
-    return breaks, jnp.sum(breaks.astype(jnp.int32), dtype=jnp.int32)
+    breaks &= ~(is_lead & (e["lead_ord"] == 1))  # LB2: no break at sot
+    return breaks
 
 
 def line_break_positions(text: str) -> list[int]:
