@@ -794,43 +794,46 @@ def _sent_rules(e):
     aterm_ctx = ctx_cls == S["ATerm"]
     saterm_ctx9 = (ctx9_cls == S["ATerm"]) | (ctx9_cls == S["STerm"])
 
-    # SB998: no break; build from lowest to highest precedence.
-    boundary = jnp.zeros_like(is_lead)
+    # SB998: no break; build from lowest to highest precedence. The
+    # chain runs in int32 0/1 — Mosaic rejects select chains that
+    # truncate to 1-bit vectors ("Unsupported target bitwidth").
+    one, zero = jnp.int32(1), jnp.int32(0)
+    boundary = jnp.zeros_like(cls)
     # SB11: SATerm Close* Sp* ÷ (anything not matched below).
-    boundary = jnp.where(saterm_ctx, True, boundary)
+    boundary = jnp.where(saterm_ctx, one, boundary)
     # SB10: ... x (Sp | ParaSep) -> no break.
-    boundary = jnp.where(saterm_ctx & ((cur == S["Sp"]) | parasep), False, boundary)
+    boundary = jnp.where(saterm_ctx & ((cur == S["Sp"]) | parasep), zero, boundary)
     # SB9: SATerm Close* x (Close | Sp | ParaSep).
     boundary = jnp.where(
-        saterm_ctx9 & ((cur == S["Close"]) | (cur == S["Sp"]) | parasep), False, boundary
+        saterm_ctx9 & ((cur == S["Close"]) | (cur == S["Sp"]) | parasep), zero, boundary
     )
     # SB8a: ... x (SContinue | SATerm).
     boundary = jnp.where(
         saterm_ctx & ((cur == S["SContinue"]) | (cur == S["ATerm"]) | (cur == S["STerm"])),
-        False,
+        zero,
         boundary,
     )
     # SB8: ATerm Close* Sp* x (not-stopper)* Lower.
-    boundary = jnp.where(aterm_ctx & (e["next_stop_cls"] == S["Lower"]), False, boundary)
+    boundary = jnp.where(aterm_ctx & (e["next_stop_cls"] == S["Lower"]), zero, boundary)
     # SB7: (Upper|Lower) ATerm x Upper.
     boundary = jnp.where(
         ((prev2_eff == S["Upper"]) | (prev2_eff == S["Lower"]))
         & (prev_eff == S["ATerm"]) & (cur == S["Upper"]),
-        False,
+        zero,
         boundary,
     )
     # SB6: ATerm x Numeric.
-    boundary = jnp.where((prev_eff == S["ATerm"]) & (cur == S["Numeric"]), False, boundary)
+    boundary = jnp.where((prev_eff == S["ATerm"]) & (cur == S["Numeric"]), zero, boundary)
     # SB5: x (Extend | Format) — unless after ParaSep.
-    boundary = jnp.where(ign & ~prev_parasep, False, boundary)
+    boundary = jnp.where(ign & ~prev_parasep, zero, boundary)
     # SB4: ParaSep ÷.
-    boundary = jnp.where(prev_parasep, True, boundary)
+    boundary = jnp.where(prev_parasep, one, boundary)
     # SB3: CR x LF.
-    boundary = jnp.where((e["prev_raw"] == S["CR"]) & (cls == S["LF"]), False, boundary)
+    boundary = jnp.where((e["prev_raw"] == S["CR"]) & (cls == S["LF"]), zero, boundary)
 
-    boundary &= is_lead
-    boundary |= is_lead & (e["lead_ord"] == 1)
-    return boundary
+    out = (boundary > 0) & is_lead
+    out |= is_lead & (e["lead_ord"] == 1)
+    return out
 
 
 def sentence_segments(text: str) -> list[str]:
