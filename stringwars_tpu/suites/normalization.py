@@ -86,8 +86,10 @@ def main() -> None:
     fold_toks = stream_rows(data_np, width=32)
 
     def fold_body(s, e, d, ln):
+        from stringwars_tpu.ops.casefold_pallas import fold_tokens_fused
+
         rolled = PaddedTokens(data=_roll(s, d), lengths=_roll(s, ln), width=fold_toks.width)
-        out, counts = CF.fold_tokens(rolled, max_cp=corpus_max_cp)
+        out, counts = fold_tokens_fused(rolled, corpus_max_cp)
         return fold_salt(s, counts, out[:, :8]), e
 
     ctx.run(

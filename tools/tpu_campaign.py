@@ -837,12 +837,13 @@ def main():
     def mk_casefold_general(spans=None, max_cp=0x4FF, nbytes=32 << 20, width=32):
         def make():
             from stringwars_tpu.suites.normalization import stream_rows
-            from stringwars_tpu.ops.casefold import fold_tokens
+            from stringwars_tpu.ops.casefold_pallas import fold_tokens_fused
             from stringwars_tpu.tape import PaddedTokens
 
-            # Narrow rows shrink the bitonic compaction superlinearly
-            # (sort cost ~ width log^2 width): 1024-wide staging measured
-            # 0.50 GB/s on the German row, where the sort dominated.
+            # Width-32 rows ride the fused Pallas fold (decode + rules +
+            # keys in one kernel + a single packed sort); corpora whose
+            # pruned rules expand past 2 cps fall back to the staged
+            # pipeline inside fold_tokens_fused.
             data = _multilingual_bytes(nbytes, spans=spans)
             toks = stream_rows(data, width=width)
 
@@ -853,9 +854,7 @@ def main():
                     lengths=jnp.roll(ln, shift),
                     width=toks.width,
                 )
-                # Staging-time rule pruning + BMP packed-sort compaction:
-                # the corpus generator bounds every codepoint by max_cp.
-                out, counts = fold_tokens(rolled, max_cp=max_cp)
+                out, counts = fold_tokens_fused(rolled, max_cp)
                 return _fold(s, counts, out[:, :8]), e
 
             return body, (toks.data, toks.lengths), ()
