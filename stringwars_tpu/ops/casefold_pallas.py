@@ -16,8 +16,9 @@ directly:
   exactly the operands of the packed single-operand ``lax.sort`` that
   finishes the compaction (the one stage XLA already does well).
 
-Covers ``max_exp <= 2`` BMP corpora at token width 32 (every <= 0xFF
-corpus); ``fold_tokens`` remains the general path and the oracle.
+Covers ``max_exp <= 3`` BMP corpora at token width 32 — i.e. every BMP
+corpus (the UCD's only longer folds are astral); ``fold_tokens`` remains
+the general path and the oracle.
 """
 
 from __future__ import annotations
@@ -58,9 +59,13 @@ def _group_cumsum(v):
     return v
 
 
-def _make_kernel(n_simple: int, n_mlen: int, n_e12: int):
+def _make_kernel(n_simple: int, n_mlen: int, n_e12: int, n_e3: int, emit3: bool):
     def kernel(slo, shi, sd, spm, spr, mlo, mhi, md, elo, ehi, ed,
-               b_ref, len_ref, p0_ref, p1_ref, cnt_ref):
+               e3lo, e3hi, e3d, b_ref, len_ref, *out_refs):
+        if emit3:
+            p0_ref, p1_ref, p2_ref, cnt_ref = out_refs
+        else:
+            p0_ref, p1_ref, cnt_ref = out_refs
         b = b_ref[0]  # (SUB, LANES) int32 bytes, 32-lane token groups
         lig = _lig()
         valid = lig < len_ref[0]  # per-token length plane (NUL is real)
@@ -109,38 +114,47 @@ def _make_kernel(n_simple: int, n_mlen: int, n_e12: int):
         k1 = jnp.where(length >= 2, starts + 1, _BIG)
         p0_ref[0] = (k0 << 16) | v0
         p1_ref[0] = (k1 << 16) | v1
+        if emit3:
+            v2 = walk(e3lo, e3hi, e3d, n_e3) & 0xFFFF
+            k2 = jnp.where(length >= 3, starts + 2, _BIG)
+            p2_ref[0] = (k2 << 16) | v2
         cnt_ref[0] = csum  # group total at each group's LAST lane
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_simple", "n_mlen", "n_e12", "interpret"))
-def _fold_stage(rows_i32, len_plane, rule_arrs, n_simple, n_mlen, n_e12, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("n_simple", "n_mlen", "n_e12", "n_e3", "emit3", "interpret")
+)
+def _fold_stage(rows_i32, len_plane, rule_arrs, n_simple, n_mlen, n_e12, n_e3,
+                emit3, interpret):
     n_t = rows_i32.shape[0]
     spec = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     shape = jax.ShapeDtypeStruct(rows_i32.shape, jnp.int32)
+    n_out = 4 if emit3 else 3
     return pl.pallas_call(
-        _make_kernel(n_simple, n_mlen, n_e12),
+        _make_kernel(n_simple, n_mlen, n_e12, n_e3, emit3),
         grid=(n_t,),
-        in_specs=[smem] * 11 + [spec, spec],
-        out_specs=(spec, spec, spec),
-        out_shape=(shape, shape, shape),
+        in_specs=[smem] * 14 + [spec, spec],
+        out_specs=(spec,) * n_out,
+        out_shape=(shape,) * n_out,
         interpret=interpret,
     )(*rule_arrs, rows_i32, len_plane)
 
 
 def fold_tokens_fused(tokens, max_cp: int, *, interpret: bool | None = None):
-    """Fused fold for width-32 PaddedTokens over a BMP corpus whose
-    pruned fold rules have ``max_exp <= 2``; returns the same
-    ``(folded int32[B, 2W], counts int32[B])`` contract as
-    ``fold_tokens`` (falls back to it otherwise)."""
+    """Fused fold for width-32 PaddedTokens over any BMP corpus
+    (``max_exp <= 3``); returns the same
+    ``(folded int32[B, max_exp*W], counts int32[B])`` contract as
+    ``fold_tokens`` (falls back to it for non-BMP / other widths)."""
     from stringwars_tpu.ops.casefold import _fold_rules, fold_tokens
 
     W = int(tokens.data.shape[1])
-    simple, mlen_r, e12_r, _e3_r, max_exp = _fold_rules(max_cp)
-    if W != GROUP or max_exp > 2 or max_cp > 0xFFFF:
+    simple, mlen_r, e12_r, e3_r, max_exp = _fold_rules(max_cp)
+    if W != GROUP or max_exp > 3 or max_cp > 0xFFFF:
         return fold_tokens(tokens, max_cp=max_cp)
+    emit3 = max_exp >= 3
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -154,24 +168,33 @@ def fold_tokens_fused(tokens, max_cp: int, *, interpret: bool | None = None):
     len_plane = jnp.broadcast_to(lens[:, None], (n_t * per_tile, GROUP)).reshape(
         n_t, SUB, LANES
     )
+    # never hand pallas a zero-length operand (Mosaic rejects them and the
+    # interpreter divides by zero); the kernel skips a walk whose static
+    # count is 0, so 1-element dummies are never read
+    def _arrs(r, *fields):
+        if r.count == 0:
+            return (jnp.zeros(1, jnp.int32),) * len(fields)
+        return tuple(jnp.asarray(getattr(r, f)) for f in fields)
+
     rule_arrs = (
-        jnp.asarray(simple.lo), jnp.asarray(simple.hi), jnp.asarray(simple.delta),
-        jnp.asarray(simple.pmask), jnp.asarray(simple.par),
-        jnp.asarray(mlen_r.lo), jnp.asarray(mlen_r.hi), jnp.asarray(mlen_r.delta),
-        jnp.asarray(e12_r.lo), jnp.asarray(e12_r.hi), jnp.asarray(e12_r.delta),
+        *_arrs(simple, "lo", "hi", "delta", "pmask", "par"),
+        *_arrs(mlen_r, "lo", "hi", "delta"),
+        *_arrs(e12_r, "lo", "hi", "delta"),
+        *_arrs(e3_r, "lo", "hi", "delta"),
     )
-    p0, p1, csum = _fold_stage(
+    planes = _fold_stage(
         tiled, len_plane, rule_arrs, simple.count, mlen_r.count, e12_r.count,
-        bool(interpret),
+        e3_r.count, emit3, bool(interpret),
     )
-    p0 = p0.reshape(n_t * per_tile, GROUP)[:B]
-    p1 = p1.reshape(n_t * per_tile, GROUP)[:B]
+    csum = planes[-1]
+    chans = [p.reshape(n_t * per_tile, GROUP)[:B] for p in planes[:-1]]
     counts = csum.reshape(n_t * per_tile, GROUP)[:B, GROUP - 1]
-    packed = jax.lax.sort(jnp.concatenate([p0, p1], axis=1), dimension=1)
-    out_w = 2 * GROUP
+    packed = jax.lax.sort(jnp.concatenate(chans, axis=1), dimension=1)
+    out_w = len(chans) * GROUP
     live = jnp.arange(out_w, dtype=jnp.int32)[None, :] < counts[:, None]
     out = jnp.where(live, packed & jnp.int32(0xFFFF), 0)
-    # fold_tokens' contract is [B, 3W] (max_exp 3 static upper bound);
-    # callers only read past counts as zeros, so the narrower [B, 2W]
-    # is contract-compatible for max_exp <= 2 corpora.
+    # Matches fold_tokens' [B, max_exp*W] width for this corpus ceiling
+    # (callers only read past counts as zeros, so max_exp<=2 corpora's
+    # narrower [B, 2W] is contract-compatible with the [B, 3W] general
+    # staged shape).
     return out, counts

@@ -126,9 +126,19 @@ def test_fold_tokens_max_cp_packed_sort():
         assert folded == r.casefold(), f"row {i}: {folded!r} != {r.casefold()!r}"
 
 
-def test_fold_tokens_fused_matches_staged():
+@pytest.mark.parametrize(
+    "max_cp,spans",
+    [
+        # German range: max_exp == 2 (ß -> ss), two-channel kernel
+        (0xFF, [(0x41, 0x7A), (0xC0, 0xFF)]),
+        # Greek/Cyrillic range: includes U+0390 (-> 3 cps), three-channel
+        (0x4FF, [(0x41, 0x7A), (0x386, 0x3CE), (0x410, 0x44F)]),
+    ],
+)
+def test_fold_tokens_fused_matches_staged(max_cp, spans):
     """Fused Pallas fold staging (decode+rules+keys in-kernel) == the
-    staged pipeline == str.casefold on a German-range width-32 batch."""
+    staged pipeline == str.casefold on width-32 batches, at both kernel
+    arities (max_exp 2 and 3)."""
     import jax.numpy as jnp
 
     from stringwars_tpu.ops.casefold import fold_tokens
@@ -136,17 +146,28 @@ def test_fold_tokens_fused_matches_staged():
     from stringwars_tpu.tape import PaddedTokens
 
     rng = np.random.default_rng(9)
-    rows = []
+    texts = []
     for _ in range(700):
-        n_ch = int(rng.integers(1, 22))
+        n_ch = int(rng.integers(1, 16))
         chars = []
         for _ in range(n_ch):
-            span = rng.integers(0, 2)
-            lo, hi = [(0x41, 0x7A), (0xC0, 0xFF)][span]
+            lo, hi = spans[int(rng.integers(0, len(spans)))]
             chars.append(chr(int(rng.integers(lo, hi + 1))))
-        rows.append("".join(chars).encode()[:32])
-    rows.append("STRASSE GROSS \xdf\xdf".encode()[:32])  # ß expansions
-    rows.append(b"")
+        texts.append("".join(chars))
+    texts.append("STRASSE GROSS \xdf\xdf")  # ß expansions
+    if max_cp >= 0x390:
+        texts.append("ΐΰ ΐΆ")  # 1->3 expansions
+    texts.append("")
+    rows = []
+    for t in texts:
+        b = t.encode()[:32]
+        while True:  # never split a multi-byte char at the width cap
+            try:
+                b.decode()
+                break
+            except UnicodeDecodeError:
+                b = b[:-1]
+        rows.append(b)
     W = 32
     data = np.zeros((len(rows), W), np.uint8)
     lengths = np.zeros(len(rows), np.int32)
@@ -154,11 +175,11 @@ def test_fold_tokens_fused_matches_staged():
         data[i, : len(b)] = np.frombuffer(b, np.uint8)
         lengths[i] = len(b)
     pt = PaddedTokens(data=jnp.asarray(data), lengths=jnp.asarray(lengths), width=W)
-    got, gc = fold_tokens_fused(pt, 0xFF, interpret=True)
-    want, wc = fold_tokens(pt, max_cp=0xFF)
+    got, gc = fold_tokens_fused(pt, max_cp, interpret=True)
+    want, wc = fold_tokens(pt, max_cp=max_cp)
     assert np.array_equal(np.asarray(gc), np.asarray(wc))
     g, w = np.asarray(got), np.asarray(want)
     for i in range(len(rows)):
         assert g[i, : gc[i]].tolist() == w[i, : wc[i]].tolist(), (i, rows[i])
         folded = "".join(map(chr, g[i, : int(gc[i])]))
-        assert folded == rows[i].decode("utf-8", "surrogateescape").casefold() or True
+        assert folded == rows[i].decode().casefold(), (i, rows[i])
