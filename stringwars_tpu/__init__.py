@@ -43,10 +43,25 @@ if _os.environ.get("SWTPU_COORDINATOR"):
 # Persistent XLA compilation cache: first compiles on the tunneled TPU can be
 # slow (minutes); caching makes them one-time per program shape. Opt out by
 # exporting JAX_COMPILATION_CACHE_DIR="".
+#
+# CPU-platform runs (tests, dryruns) get NO persistent cache: XLA:CPU AOT
+# round-trips are not trustworthy — deserializing a cached CPU executable
+# SIGSEGVs inside `compilation_cache.get_executable_and_time` (reproduced
+# with a same-machine, same-process-writes cache on the large scanline
+# sentence program), and entries are additionally non-portable across hosts
+# with different CPU features. CPU compiles are seconds, not minutes; the
+# cache only pays for itself on the tunneled TPU, where compiles run
+# server-side and can take minutes.
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _cache_dir = _os.path.expanduser("~/.cache/swtpu-xla")
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _plat = (
+        _os.environ.get("JAX_PLATFORMS", "")
+        + _os.environ.get("JAX_PLATFORM_NAME", "")
+        + (_jax.config.jax_platforms or "")
+    )
+    if "cpu" not in _plat:
+        _cache_dir = _os.path.expanduser("~/.cache/swtpu-xla")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from stringwars_tpu.tape import Tape, PaddedTokens  # noqa: F401

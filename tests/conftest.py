@@ -22,6 +22,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(items):
+    """Run the heaviest-compile module first.
+
+    The TR29 sentence program is the largest XLA:CPU compile in the suite.
+    It compiles fine in a fresh process (standalone runs pass repeatedly),
+    but after ~400 earlier tests' compiles the same backend_compile aborts
+    inside LLVM (silent SIGABRT; with the persistent cache enabled it was a
+    SIGSEGV deserializing the same program — see stringwars_tpu/__init__.py).
+    Fronting the module reproduces the known-good fresh-process condition
+    without splitting the suite into multiple invocations."""
+    front = [it for it in items if "test_tr29_dual" in it.nodeid]
+    rest = [it for it in items if "test_tr29_dual" not in it.nodeid]
+    items[:] = front + rest
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
