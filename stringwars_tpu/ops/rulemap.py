@@ -1,9 +1,20 @@
-"""Gather-free Unicode table lookups: step-function / range-rule maps (K9/K10).
+"""Unicode table lookups: step-function / range-rule maps (K9/K10).
 
-TPU table gathers run near-scalar (~0.1 G lookups/s — PERFORMANCE.md
-finding #4), so every per-codepoint class/fold lookup that used
-``jnp.take(table, cps)`` is reformulated here as arithmetic over the
-table's RUN STRUCTURE:
+XLA-level table gathers run near-scalar (~0.1 G lookups/s —
+PERFORMANCE.md finding #4), so per-codepoint class/fold lookups that
+used ``jnp.take(table, cps)`` are evaluated by one of two kernels,
+chosen by a cost model:
+
+- the **lane-gather LUT** (``ops/lut.py``): the dense table rides into
+  the kernel and each 128-entry window is one ``tpu.dynamic_gather``
+  (31-68 G lookups/s measured) — wins whenever the table is small
+  enough that ``windows + 3 < rules``;
+- the **rule walk** below: arithmetic over the table's RUN STRUCTURE —
+  wins for maps whose domain is huge but whose run count is small
+  (pruned sentence-break tables reaching 0x10FFFF, sparse BPE pair
+  keys).
+
+The walk formulation:
 
 - A dense class table (grapheme/word/sentence break classes, whitespace,
   pictographic, ...) is a step function: ``value(cp) = Σ_r dv_r · [cp >=
@@ -234,6 +245,32 @@ def _use_pallas(interpret: bool | None) -> tuple[bool, bool]:
     return True, interpret
 
 
+# --- lane-gather LUT route (ops/lut.py) ------------------------------------
+#
+# Cost model per 1024-element slab (measured, see ops/lut.py): the LUT
+# costs ~(windows + 3) op-units, the walk ~rules op-units.
+
+
+def _lut_wins(table_size: int, rules: int) -> bool:
+    n_win = -(-table_size // 128)
+    return (n_win + 3) < rules
+
+
+def _dense_delta_table(rules: FoldRules) -> np.ndarray:
+    """Dense int32 delta/value table over [0, hi.max()+2) — the final
+    entry is rule-free so clamped out-of-range lookups read 0."""
+    size = int(rules.hi.max()) + 2
+    t = np.zeros(size, np.int64)
+    for r in range(rules.count):
+        lo, hi = int(rules.lo[r]), int(rules.hi[r])
+        seg = np.arange(lo, hi + 1, dtype=np.int64)
+        pm = int(rules.pmask[r])
+        if pm:
+            seg = seg[(seg & pm) == int(rules.par[r])]
+        t[seg] += int(rules.delta[r])
+    return t.astype(np.int32)
+
+
 def step_map(cps: jax.Array, rules: StepRules, table: np.ndarray | None = None, *, interpret: bool | None = None) -> jax.Array:
     """Evaluate a compiled step table over any-shape int codepoints.
 
@@ -248,6 +285,17 @@ def step_map(cps: jax.Array, rules: StepRules, table: np.ndarray | None = None, 
         if table is None:
             table = expand_steps(rules)
         return jnp.take(jnp.asarray(table, jnp.int32), cps)
+    size = int(rules.starts[-1]) + 1 if rules.count else 1
+    if _lut_wins(size, rules.count):
+        # Step functions are constant past the last boundary, so clamped
+        # indices are exact for every cp.
+        from stringwars_tpu.ops.lut import lut_map
+
+        dense = expand_steps(rules, size) if table is None else np.asarray(table)[:size]
+        return lut_map(
+            jnp.clip(cps, 0, size - 1), dense,
+            interpret=interp if interpret is not None else None,
+        )
     flat, n = _tile(cps.reshape(-1))
     out = _step_call(
         jnp.asarray(rules.starts), jnp.asarray(rules.deltas), flat, rules.count, interp
@@ -275,6 +323,16 @@ def range_map(cps: jax.Array, rules: FoldRules, *, interpret: bool | None = None
             )
             out = out + jnp.where(ok, int(rules.delta[r]), 0)
         return (cps + out) if rules.base == 0 else out
+    size = int(rules.hi.max()) + 2
+    if _lut_wins(size, rules.count):
+        from stringwars_tpu.ops.lut import lut_map
+
+        acc = lut_map(
+            jnp.clip(cps, 0, size - 1),
+            _dense_delta_table(rules),
+            interpret=interp if interpret is not None else None,
+        )
+        return (cps + acc) if rules.base == 0 else acc
     flat, n = _tile(cps.reshape(-1))
     out = _range_call(
         jnp.asarray(rules.lo), jnp.asarray(rules.hi), jnp.asarray(rules.delta),

@@ -32,8 +32,9 @@ def pytest_collection_modifyitems(items):
     SIGSEGV deserializing the same program — see stringwars_tpu/__init__.py).
     Fronting the module reproduces the known-good fresh-process condition
     without splitting the suite into multiple invocations."""
-    front = [it for it in items if "test_tr29_dual" in it.nodeid]
-    rest = [it for it in items if "test_tr29_dual" not in it.nodeid]
+    heavy = ("test_tr29_dual", "test_shiftand")  # crash-after-400-compiles club
+    front = [it for it in items if any(h in it.nodeid for h in heavy)]
+    rest = [it for it in items if not any(h in it.nodeid for h in heavy)]
     items[:] = front + rest
 
 
