@@ -183,11 +183,67 @@ def _reorder_argsort(out: jax.Array, ccc: jax.Array) -> jax.Array:
     return jnp.take(out, order)
 
 
+@functools.lru_cache(maxsize=None)
+def _decomp_fused_tables(compat: bool, max_cp: int):
+    """(prepare_tables result, max_exp) for the fused expand-compact
+    engine, or None when this corpus exceeds its envelope (expansion > 4
+    — NFD's UAX#15 ceiling, only long NFKD compat expansions — or a
+    non-BMP output)."""
+    from stringwars_tpu.ops.casefold_pallas import MAX_EXP, prepare_tables
+
+    inline, multi, pool = _decomp_arrays(compat)
+    S = max_cp + 1
+    cps = np.arange(S, dtype=np.int64)
+    inl = inline[:S].astype(np.int64)
+    mul = multi[:S].astype(np.int64)
+    is_multi = inl < 0
+    length = np.where(is_multi, mul & 31, 1)
+    max_exp = int(length.max())
+    if max_exp > MAX_EXP:
+        return None
+    off = mul >> 5
+    e1 = pool[np.clip(off, 0, pool.shape[0] - 1)].astype(np.int64)
+    exps = [
+        np.where(length >= k, pool[np.clip(off + k - 1, 0, pool.shape[0] - 1)], 0)
+        for k in range(2, max(max_exp, 2) + 1)
+    ]
+    v0 = np.where(is_multi, e1, inl)
+    if max(int(v0.max()), *(int(e.max()) for e in exps)) > 0xFFFF:
+        return None
+    t1 = (((v0 - cps) & 0xFFFF) | (length << 16)).astype(np.int32)
+    e2 = exps[0]
+    e3 = exps[1] if len(exps) >= 2 else np.zeros_like(e2)
+    t2 = (e2 | (e3 << 16)).astype(np.int32)
+    if max_exp <= 3:
+        return prepare_tables(t1, t2), max_exp
+    t3 = exps[2].astype(np.int32)
+    return prepare_tables(t1, t2, t3), max_exp
+
+
+def _decompose_rows_fused(cps, lengths, compat: bool, max_cp: int, interpret: bool):
+    """Fused-engine NFD/NFKD rows (see ops/casefold_pallas): LUT expand +
+    in-kernel compaction, then the row-local canonical reorder. Caller
+    guarantees ``_decomp_fused_tables`` returned an envelope hit."""
+    from stringwars_tpu.ops.casefold_pallas import expand_compact_rows
+
+    staged, max_exp = _decomp_fused_tables(compat, max_cp)
+    *_, ccc_rules, _ = _decomp_rules(compat, max_cp)
+    out, counts = expand_compact_rows(
+        cps, lengths, staged, max_exp, int(cps.shape[1]), False, interpret
+    )
+    return _canonical_reorder_rows(out, ccc_rules), counts
+
+
 @functools.partial(jax.jit, static_argnames=("compat", "max_cp"))
 def decompose_rows(
     cps: jax.Array, lengths: jax.Array, compat: bool = False, max_cp: int | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """NFD/NFKD of codepoint ROWS: (out int32[R, C*max_exp], counts[R]).
+
+    Rows whose width is a group size the fused expand-compact engine
+    supports (32/64 lanes, expansion <= 3, BMP outputs) take that Pallas
+    path; everything else runs the staged XLA pipeline below (also the
+    conformance oracle for the fused path).
 
     The benchmark-scale formulation (the flat ``decompose`` kernel's
     ``.at[dst].set`` scatter and whole-stream reorder measured
@@ -199,6 +255,12 @@ def decompose_rows(
     are rule maps (zero gathers), pruned to ``max_cp``.
     """
     from stringwars_tpu.ops import rulemap
+
+    if max_cp is not None and cps.shape[1] in (32, 64) and max_cp <= 0xFFFF:
+        if _decomp_fused_tables(compat, max_cp) is not None:
+            return _decompose_rows_fused(
+                cps, lengths, compat, max_cp, jax.default_backend() != "tpu"
+            )
 
     inline_rules, mlen_rules, pos_maps, max_exp, ccc_rules, out_max = _decomp_rules(
         compat, max_cp
