@@ -228,3 +228,86 @@ def find_count_cycle(staged: StagedHaystack, batch: NeedleBatch, *, interpret: b
     return _count_batch(
         staged.rows, batch.words4, batch.masks4, batch.meta, batch.k_words, interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# Codepoint-window count: the general (non-ASCII) uncased-find form (K10)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation (ops/casefold._window_count) pays one full-stream
+# materialization per needle position (m unfused shifted slices measured
+# 7.9 GB/s on the 8-cp row); here the i32 codepoint stream is staged once
+# into overlapping rows and each grid step compares all m offsets against
+# a VMEM-resident panel — one HBM pass total. Needle codepoints ride the
+# scalar-prefetch channel (dynamic, no recompile per needle).
+# Reference semantics: ``normalization/bench.rs:334-351`` (uncased search
+# counts all matches of the folded needle in the folded haystack).
+
+CP_PANEL = 4096  # i32 codepoints per grid step per row
+CP_HALO = 128  # supports needles up to 129 folded codepoints
+
+
+def stage_cp_rows(cps: np.ndarray, n: int) -> tuple[np.ndarray, int]:
+    """[ROWS, chunk + CP_HALO] overlapping view of the cp stream."""
+    chunk = (n + ROWS - 1) // ROWS
+    chunk = (chunk + CP_PANEL - 1) // CP_PANEL * CP_PANEL
+    buf = np.full(ROWS * chunk + CP_HALO, -1, np.int32)  # -1 matches no cp
+    buf[:n] = cps[:n]
+    rows = np.lib.stride_tricks.sliding_window_view(buf, chunk + CP_HALO)[::chunk][:ROWS]
+    return np.ascontiguousarray(rows), chunk
+
+
+def _make_cp_kernel(m: int):
+    def kernel(needle_ref, meta_ref, panel_ref, head_ref, out_ref, scratch):
+        scratch[:, :CP_PANEL] = panel_ref[...]
+        scratch[:, CP_PANEL:] = head_ref[...]
+        n = meta_ref[0]
+        chunk = meta_ref[1]
+        i = pl.program_id(0)
+
+        cand = jnp.ones((ROWS, CP_PANEL), dtype=jnp.bool_)
+        for j in range(m):
+            cand &= scratch[:, j : j + CP_PANEL] == needle_ref[j]
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, CP_PANEL), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, CP_PANEL), 1)
+        gp = row_ids * chunk + i * CP_PANEL + col_ids  # global cp position
+        count = jnp.sum((cand & (gp <= n - m)).astype(jnp.int32))
+
+        one_hot = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        ) == 0
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros((8, 128), jnp.int32)
+
+        out_ref[...] = out_ref[...] + jnp.where(one_hot, count, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def cp_window_count(rows, needle, meta, m: int, interpret: bool = False):
+    """All-matches count of an m-cp needle over staged cp rows.
+
+    ``rows``: ``stage_cp_rows`` output; ``needle``: int32[>=m];
+    ``meta``: int32[2] = (n, chunk)."""
+    grid = ((rows.shape[1] - CP_HALO) // CP_PANEL,)
+    out = pl.pallas_call(
+        _make_cp_kernel(m),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ROWS, CP_PANEL), lambda i, *_: (0, i)),
+                pl.BlockSpec((ROWS, CP_HALO), lambda i, *_: (0, (i + 1) * (CP_PANEL // CP_HALO))),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((ROWS, CP_PANEL + CP_HALO), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        interpret=interpret,
+    )(needle, meta, rows, rows)
+    return out[0, 0]

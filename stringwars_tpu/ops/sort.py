@@ -46,11 +46,31 @@ def _byte_columns(data: jax.Array, lengths: jax.Array) -> jax.Array:
     return packed.T  # [n_cols, B]
 
 
+# Column-count ceiling for the one-shot multi-key sort. Short-word
+# corpora (the reference's headline argsort rows) pack to <= 8 columns;
+# past that the comparator's operand set outweighs the gathers it saves.
+_MULTIKEY_MAX_COLS = 8
+
+
 @jax.jit
 def _lsd_argsort(columns: jax.Array) -> jax.Array:
-    """Stable LSD radix argsort over [n_cols, B] key columns."""
+    """Stable argsort over [n_cols, B] packed key columns.
+
+    Short keys: ONE lexicographic ``lax.sort`` over all columns with the
+    identity iota as the final key (ties broken by position == stable) —
+    no gathers at all. Wide keys: LSD radix, one stable sort per column;
+    the per-pass ``jnp.take`` re-gathers are the price of not carrying
+    every remaining column through every pass (XLA-level gathers run
+    near-scalar on this chip — PERFORMANCE.md finding #4 — which is why
+    the multi-key form wins 15x on the 2 M-word row).
+    """
     n_cols, B = columns.shape
     order = jnp.arange(B, dtype=jnp.int32)
+    if n_cols <= _MULTIKEY_MAX_COLS:
+        res = jax.lax.sort(
+            [columns[k] for k in range(n_cols)] + [order], num_keys=n_cols + 1
+        )
+        return res[-1]
 
     def body(order, col):
         keys = jnp.take(col, order)

@@ -209,15 +209,26 @@ def main() -> None:
 
         consts = (staged.rows, w4, m4, meta)
     else:
+        # General (non-ASCII) form: the staged codepoint-window Pallas
+        # kernel — one HBM pass over the i32 folded stream vs the XLA
+        # window compare's m unfused shifted slices (7.9 -> one-pass).
+        from stringwars_tpu.ops.find_pallas import cp_window_count, stage_cp_rows
 
-        def find_body(s, e, hay, hn, nd):
+        nfold = int(folded_np.size)
+        cp_rows, cp_chunk = stage_cp_rows(
+            folded_np if nfold else np.zeros(1, np.int32), max(nfold, 1)
+        )
+        cp_meta = jnp.asarray([max(nfold, 1), cp_chunk], jnp.int32)
+        interp = jax.default_backend() != "tpu"
+
+        def find_body(s, e, rows, mt, nd):
             # Perturb the needle codepoints (window-compare cost is
             # data-independent; matches just change).
             pert = (s & jnp.uint32(0xFFFF)).astype(jnp.int32)
-            cnt = CF._window_count(hay, nd ^ pert, hn, fm)
+            cnt = cp_window_count(rows, nd ^ pert, mt, fm, interp)
             return fold_salt(s, cnt), e
 
-        consts = (folded_hay, fold_count, needle_cp)
+        consts = (jnp.asarray(cp_rows), cp_meta, needle_cp)
 
     ctx.run(
         "case-insensitive-find/swtpu::uncased_find<1chip>",

@@ -231,3 +231,35 @@ def test_sharded_pallas_find_matches_brute(rng):
     count, last = step_b(w4, m4, jnp.asarray(packed.length))
     assert int(count) == len(expected)
     assert int(last) == expected[-1]
+
+
+def test_cp_window_count_matches_oracle(rng):
+    """Codepoint-window Pallas kernel (general uncased-find form) vs the
+    XLA window compare, with matches planted at panel/chunk seams."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.casefold import _window_count
+    from stringwars_tpu.ops.find_pallas import (
+        CP_HALO,
+        CP_PANEL,
+        cp_window_count,
+        stage_cp_rows,
+    )
+
+    n, m = 70_000, 8
+    cps = rng.integers(0x3B1, 0x3C9, n).astype(np.int32)  # Greek lowercase
+    needle = rng.integers(0x3B1, 0x3C9, m).astype(np.int32)
+    # Plant matches straddling the panel seam, at the stream head/tail,
+    # and one truncated at n (must NOT count).
+    for pos in (0, CP_PANEL - 3, 2 * CP_PANEL - m, 1234, n - m + 2, n - m):
+        cps[pos : pos + m] = needle[: n - pos]
+    want = int(_window_count(jnp.asarray(cps), jnp.asarray(needle), jnp.int32(n), m))
+    rows, chunk = stage_cp_rows(cps, n)
+    got = int(
+        cp_window_count(
+            jnp.asarray(rows), jnp.asarray(needle),
+            jnp.asarray([n, chunk], jnp.int32), m, True,
+        )
+    )
+    assert got == want and want >= 5
+    assert rows.shape[1] - CP_HALO == chunk

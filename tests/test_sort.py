@@ -91,3 +91,27 @@ def test_argsort_uncased_exact_prefix_width_tie():
     tape = Tape.from_tokens(tokens)
     got = [t.decode().casefold() for t in sorted_tokens(tape, uncased=True)]
     assert got == sorted(t.decode().casefold() for t in tokens)
+
+
+def test_multikey_and_lsd_paths_agree(rng):
+    """The one-shot multi-key sort (short keys) and the LSD radix scan
+    (wide keys) must produce the same stable permutation."""
+    import jax.numpy as jnp
+
+    from stringwars_tpu.ops.sort import _MULTIKEY_MAX_COLS, _byte_columns, _lsd_argsort
+
+    B, W = 4096, 9  # 3 columns: multikey route
+    data = rng.integers(97, 102, (B, W), dtype=np.uint8)
+    lengths = rng.integers(0, W + 1, B).astype(np.int32)  # many ties
+    cols = _byte_columns(jnp.asarray(data), jnp.asarray(lengths))
+    assert cols.shape[0] <= _MULTIKEY_MAX_COLS
+    got = np.asarray(_lsd_argsort(cols))
+    # Wide-path result on the same keys: zero-pad columns past the
+    # ceiling (zero columns are order-neutral padding at the LSD tail).
+    wide = jnp.concatenate(
+        [cols, jnp.zeros((_MULTIKEY_MAX_COLS + 1 - cols.shape[0], B), cols.dtype)]
+    )
+    want = np.asarray(_lsd_argsort(wide))
+    np.testing.assert_array_equal(got, want)
+    keys = [data[i, : lengths[i]].tobytes() for i in range(B)]
+    assert [keys[i] for i in got] == sorted(keys)
