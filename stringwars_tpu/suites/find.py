@@ -429,6 +429,8 @@ def bench_byteset(ctx: SuiteContext) -> None:
     from stringwars_tpu.ops.ahocorasick import (
         _ac_scan,
         _ac_scan_pallas,
+        _ac_scan_pallas_lut,
+        automaton_luts,
         automaton_rules,
         stage_cols,
         stage_rows,
@@ -459,13 +461,20 @@ def bench_byteset(ctx: SuiteContext) -> None:
                 ]
             else:
                 cols, gpos0, overlap, limit = stage_cols(hay_np, n, a.max_len)
-                key_rules, oc_rules = automaton_rules(a)
-                staged_acs.append(((key_rules.count, oc_rules.count), overlap))
-                flat_ac_consts += [
-                    jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
-                    jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
-                    jnp.asarray([n, limit], jnp.int32), cols, gpos0,
-                ]
+                mode, n_pm, tables = automaton_luts(a)
+                if mode is not None:
+                    staged_acs.append((("lut", mode, n_pm, len(tables)), overlap))
+                    flat_ac_consts += [
+                        jnp.asarray([n, limit], jnp.int32), cols, gpos0, *tables,
+                    ]
+                else:
+                    key_rules, oc_rules = automaton_rules(a)
+                    staged_acs.append(((key_rules.count, oc_rules.count), overlap))
+                    flat_ac_consts += [
+                        jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
+                        jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
+                        jnp.asarray([n, limit], jnp.int32), cols, gpos0,
+                    ]
 
         def ac_body(s, e, *flat):
             # Perturbing the DFA tables would corrupt state ids; perturb the
@@ -480,6 +489,18 @@ def bench_byteset(ctx: SuiteContext) -> None:
                         _sa_scan(
                             meta, masks, cols ^ perturb_u8(s).astype(jnp.int32),
                             gpos0, overlap, False,
+                        )
+                    )
+                elif kind[0] == "lut":
+                    _, mode, n_pm, n_tab = kind
+                    meta, cols, gpos0 = flat[at : at + 3]
+                    tabs = flat[at + 3 : at + 3 + n_tab]
+                    at += 3 + n_tab
+                    outs.append(
+                        _ac_scan_pallas_lut(
+                            tuple(tabs), meta,
+                            cols ^ perturb_u8(s).astype(jnp.int32),
+                            gpos0, mode, n_pm, overlap, False,
                         )
                     )
                 else:

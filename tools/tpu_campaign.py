@@ -938,31 +938,31 @@ def main():
     )
 
     def mk_ac_pallas():
+        # Production route: the lane-gather LUT scan (automaton_luts wins
+        # the cost model for this dictionary; the rule-walk kernel stays
+        # the fallback for huge DFAs).
         from stringwars_tpu.ops.ahocorasick import (
             Automaton,
-            _ac_scan_pallas,
-            automaton_rules,
+            _ac_scan_pallas_lut,
+            automaton_luts,
             stage_cols,
         )
 
         n = 64 << 20
         auto = Automaton([b"the", b"and", b"tion", b"abcd"])
         cols, gpos0, overlap, limit = stage_cols(_flat(n), n, auto.max_len)
-        key_rules, oc_rules = automaton_rules(auto)
+        mode, n_pm, tables = automaton_luts(auto)
+        assert mode is not None
         meta = jnp.asarray([n, limit], jnp.int32)
 
-        def body(s, e, ks, kd, os_, od, mt, c, g0):
-            cnt = _ac_scan_pallas(
-                ks, kd, os_, od, mt, c ^ _pert_u8(s).astype(jnp.int32), g0,
-                key_rules.count, oc_rules.count, overlap, False,
+        def body(s, e, mt, c, g0, *tabs):
+            cnt = _ac_scan_pallas_lut(
+                tuple(tabs), mt, c ^ _pert_u8(s).astype(jnp.int32), g0,
+                mode, n_pm, overlap, False,
             )
             return _fold(s, cnt), e
 
-        return body, (
-            jnp.asarray(key_rules.starts), jnp.asarray(key_rules.deltas),
-            jnp.asarray(oc_rules.starts), jnp.asarray(oc_rules.deltas),
-            meta, cols, gpos0,
-        ), ()
+        return body, (meta, cols, gpos0, *tables), ()
 
     bench("ac-pallas-64MB", mk_ac_pallas, 64 << 20)
 
