@@ -28,9 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stringwars_tpu.native import ac_build, ac_count_host
 
-_AC_SUB, _AC_LANES = 8, 128
-_AC_CHUNKS = _AC_SUB * _AC_LANES  # 1024 chunks ride the vector lanes
-_AC_KSTEP = 512  # byte columns per grid step (block = KSTEP * 4 KB VMEM)
+# 32 sublanes = 4096 parallel chunk streams: the per-column transition
+# chain is serially dependent, so wider state planes are the ILP lever
+# (8 sublanes measured latency-bound at 3.3 GB/s; 32 reach deeper into
+# the VPU pipeline at the same ops/byte).
+_AC_SUB, _AC_LANES = 32, 128
+_AC_CHUNKS = _AC_SUB * _AC_LANES  # 4096 chunks ride the vector lanes
+_AC_KSTEP = 128  # byte columns per grid step (block = KSTEP * 16 KB VMEM)
 
 
 class Automaton:

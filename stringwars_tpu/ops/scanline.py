@@ -47,8 +47,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# (32, 1024) i32 = 128 KB grid blocks: the original (8, 1024) = 32 KB
+# blocks were DMA-overhead-bound (the TR29 scan stage profiled 20.7 of a
+# 35.7 ms word iteration at 4096 tiny sequential grid steps — the same
+# wall rulemap hit, PERFORMANCE.md finding #11). Wider tiles cost only
+# log2 more sublane-roll steps per scan.
 _LANES = 1024
-_SUBS = 8
+_SUBS = 32
 _TILE = _SUBS * _LANES
 
 _I32_MIN = -(1 << 31)
@@ -363,7 +368,7 @@ def fused_scan(
 # registers — the same fn runs directly on full arrays for the CPU path.
 # ---------------------------------------------------------------------------
 
-_EW_BLK = 16  # (16, 8, 1024) int32 blocks: 512 KB per operand per step
+_EW_BLK = 4  # (4, 32, 1024) int32 blocks: 512 KB per operand per step
 
 
 def _ew_kernel(n_in: int, fn, names):

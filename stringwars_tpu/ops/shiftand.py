@@ -39,8 +39,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SUB, _LANES = 8, 128
-_KSTEP = 512  # byte columns per grid step
+# Tile geometry rides the AC staging (stage_cols): 32-sublane state
+# planes amortize the serially-dependent per-column chain (same ILP
+# lever as the AC kernel).
+from stringwars_tpu.ops.ahocorasick import _AC_KSTEP as _KSTEP
+from stringwars_tpu.ops.ahocorasick import _AC_LANES as _LANES
+from stringwars_tpu.ops.ahocorasick import _AC_SUB as _SUB
 
 MAX_BITS = 64  # up to two u32 words of pattern positions
 _W = 32
