@@ -50,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 # (32, 1024) i32 = 128 KB grid blocks: the original (8, 1024) = 32 KB
 # blocks were DMA-overhead-bound (the TR29 scan stage profiled 20.7 of a
 # 35.7 ms word iteration at 4096 tiny sequential grid steps — the same
-# wall rulemap hit, PERFORMANCE.md finding #11). Wider tiles cost only
-# log2 more sublane-roll steps per scan.
+# wall rulemap hit, PERFORMANCE.md finding #11). 64-sublane tiles gained
+# only ~8% more (words 1.37 -> 1.49 GB/s) and crashed the linebreak
+# kernel's server-side compile (HTTP 500), so 32 is the envelope.
 _LANES = 1024
 _SUBS = 32
 _TILE = _SUBS * _LANES
