@@ -35,7 +35,7 @@ REFS = {
     "nw-linear-pallas": ("NW linear, single-matrix Pallas", 90.5, "GCUPS 16-core"),
     "nw-linear-i16": ("NW linear, packed-i16", 90.5, "GCUPS 16-core"),
     "ac-mxu": ("Aho-Corasick MXU scan (K2)", 0.51, "GB/s aho-corasick"),
-    "ac-pallas": ("Aho-Corasick Pallas flat-key scan (K2)", 0.51, "GB/s aho-corasick"),
+    "ac-pallas": ("Aho-Corasick Pallas LUT-gather scan (K2)", 0.51, "GB/s aho-corasick"),
     "ac-shiftand-": ("Shift-And 4-pattern scan (K2)", 0.51, "GB/s aho-corasick"),
     "ac-shiftand8": ("Shift-And 8-word dictionary (K2)", 0.51, "GB/s aho-corasick"),
     "argsort-2M": ("argsort, 2 M words (K11)", 0.23, "Gcmp/s CPU best"),
@@ -53,7 +53,7 @@ REFS = {
     "casefold-german": ("case fold, German-range corpus (K10)", 2.59, "GB/s sz Zen5"),
     "casefold-russian": ("case fold, Russian corpus (K10)", 2.20, "GB/s sz Zen5"),
     "casefold-greek": ("case fold, Greek corpus (K10)", 1.00, "GB/s sz Zen5"),
-    "uncased-find-8cp": ("case-insensitive find, window form (K10)", 12.79, "GB/s sz"),
+    "uncased-find-8cp": ("case-insensitive find, cp-window Pallas (K10)", 12.79, "GB/s sz"),
     "uncased-find-ascii64": ("case-insensitive find, ASCII panel x64 (K10)", 12.79, "GB/s sz"),
     "nfc-multilingual": ("NFC normalize, multilingual (K10)", None, "no published ref"),
     "nfd-multilingual": ("NFD normalize, multilingual (K10)", None, "no published ref"),
