@@ -23,19 +23,34 @@ import pytest  # noqa: E402
 
 
 def pytest_collection_modifyitems(items):
-    """Run the heaviest-compile module first.
+    """Run the heaviest-compile modules first.
 
-    The TR29 sentence program is the largest XLA:CPU compile in the suite.
-    It compiles fine in a fresh process (standalone runs pass repeatedly),
-    but after ~400 earlier tests' compiles the same backend_compile aborts
-    inside LLVM (silent SIGABRT; with the persistent cache enabled it was a
-    SIGSEGV deserializing the same program — see stringwars_tpu/__init__.py).
-    Fronting the module reproduces the known-good fresh-process condition
-    without splitting the suite into multiple invocations."""
-    heavy = ("test_tr29_dual", "test_shiftand")  # crash-after-400-compiles club
+    XLA:CPU's backend_compile crashes inside LLVM once a single process
+    has accumulated ~300 tests' worth of JIT'd executables (SIGSEGV; with
+    the persistent cache enabled it was a SIGSEGV deserializing the same
+    program — see stringwars_tpu/__init__.py). Every big scanline-engine
+    program compiles fine in a fresh process; whichever lands around test
+    ~300 of the full run is the victim (test_tr29_dual in round 3,
+    test_segment then test_scanline in round 5). Two defenses: front the
+    heavy modules, and drop compiled executables every 100 tests
+    (pytest_runtest_teardown below)."""
+    heavy = ("test_tr29_dual", "test_shiftand", "test_segment", "test_scanline", "test_sentence", "test_linebreak")
     front = [it for it in items if any(h in it.nodeid for h in heavy)]
     rest = [it for it in items if not any(h in it.nodeid for h in heavy)]
     items[:] = front + rest
+
+
+_TESTS_SINCE_CLEAR = [0]
+
+
+def pytest_runtest_teardown(item, nextitem):
+    """Release accumulated compiled executables every 100 tests (the
+    crash-after-~300-compiles defense; costs a few recompiles of shared
+    helpers, saves the LLVM JIT arena)."""
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 100:
+        _TESTS_SINCE_CLEAR[0] = 0
+        jax.clear_caches()
 
 
 @pytest.fixture
