@@ -37,6 +37,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 _CAMPAIGN = os.path.join(_ROOT, "tools", "tpu_campaign.py")
@@ -69,23 +70,34 @@ def device_healthy() -> bool:
     180 s? (A fresh process pays ~10-40 s of JAX init through the
     tunnel; a recently-killed server-side compile can add a minute.)
     On failure the bench refuses early instead of burning its whole
-    budget against a dead tunnel."""
+    budget against a dead tunnel.
+
+    The probe program is EXACTLY tools/tpu_health.py's (v + 1 add): a
+    key the compile server keeps hot. A degraded helper serves fresh
+    keys in minutes (2026-08-20: 65-180+ s for a trivial program) while
+    hot keys come back in under a second — and a probe killed mid-fresh-
+    compile wedges its own key server-side, so a cold-key probe can turn
+    a degraded window into a persistent self-inflicted hang. Two
+    attempts before refusing."""
     probe = (
-        "import jax, jax.numpy as jnp\n"
-        "x = jax.device_put(jnp.arange(1024, dtype=jnp.uint32))\n"
-        "print(int(jax.jit(lambda v: (v * jnp.uint32(2654435761)).sum())(x)))\n"
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "x = jax.device_put(np.arange(131072, dtype=np.uint32))\n"
+        "v = jax.jit(lambda a: a + jnp.uint32(1))(x)\n"
+        "print(int(np.asarray(v)[123]))\n"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", probe], capture_output=True, timeout=180, text=True
-        )
-    except subprocess.TimeoutExpired:
-        log("health gate: device probe timed out (180 s)")
-        return False
-    if proc.returncode != 0:
-        log(f"health gate: probe rc={proc.returncode}: {proc.stderr.strip()[-200:]}")
-        return False
-    return True
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=180, text=True
+            )
+        except subprocess.TimeoutExpired:
+            log(f"health gate: device probe timed out (180 s, attempt {attempt})")
+            continue
+        if proc.returncode != 0:
+            log(f"health gate: probe rc={proc.returncode}: {proc.stderr.strip()[-200:]}")
+            continue
+        return True
+    return False
 
 
 def warm_cache(names: list[str]) -> None:
